@@ -1,0 +1,681 @@
+package graft.kg.extract
+
+import graft.kg.model._
+import graft.kg.ontology.{ConceptDef, Ontology, OntologyData, SignalPattern}
+import graft.kg.rules.{CitationHit, Citations, Relations}
+import graft.kg.text.{Normalize, SegmentedDoc, Segmenter, TextSegment}
+
+import java.util.Locale
+import java.util.regex.Pattern
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** GraftExtract v1 — the deterministic, rule-based per-conversation extractor.
+  *
+  * Re-expresses the reference pipeline (extractor.py `extract`,
+  * lines 4474-4877) with the LLM passes replaced by the reference's own rule
+  * grammar, exactly as specified by the project north rule:
+  *
+  *   1. Assemble turns (stable `(conv_id, turn_idx)` order, "\n" join —
+  *      run_iltur.py:513-530) → segment into paragraphs/sentences with exact
+  *      char offsets (extractor.py:1698-1772).
+  *   2. Mention detection: citation regex grammar (citation_preprocess.py) +
+  *      signal-phrase grammar + ontology key-phrase hits, per sentence.
+  *   3. Rule-based node induction (sentence classifiers below).
+  *   4. Auto-fill `resolves_issue` (extractor.py:4587-4628).
+  *   5. Concept-centric clustering (extractor.py:1409-1637).
+  *   6. Edge induction: signal-grammar intra-sentence edges + gated
+  *      intra-cluster support edges (replacing the LLM pass 8, constrained by
+  *      the same validation matrix extractor.py:568-738) + deterministic
+  *      structural edges (extractor.py:4119-4191) → normalize/validate/repair
+  *      → dedupe (extractor.py:4026-4049).
+  *   7. Justification sets (extractor.py:4194-4276), reasoning chains
+  *      (extractor.py:4290-4369), validation + quality tier
+  *      (extractor.py:4822-4862).
+  *
+  * Node-induction rules (the v1 sentence classifiers; each deterministic,
+  * anchor = the matching sentence span):
+  *   - issue:     sentence matches the issue-cue regex ("whether", "the
+  *                question/issue is/arises", "falls for consideration", ...).
+  *   - holding:   sentence contains a `primary_holding` or
+  *                `ratio_decidendi_marker` signal phrase (is_ratio = true).
+  *   - outcome:   LAST sentence matching the disposition regex; the
+  *                disposition enum value is derived from the matched verb.
+  *   - argument:  sentence matches the submission-cue regex ("contends",
+  *                "submits", "argues", "urged", ...); actor from the cue's
+  *                subject via the actor alias table (extractor.py:365-563).
+  *   - fact:      sentence matches the event-cue regex and is not already an
+  *                issue/holding/outcome/argument sentence.
+  *   - concept:   one node per ontology concept with ≥1 key-phrase or
+  *                establishing-case hit anywhere in the document (anchor =
+  *                first hitting sentence).
+  *   - precedent: one node per overlap-deduped citation hit.
+  *
+  * All ids are order-derived (prefix + 1-based rank by anchor start), so any
+  * partitioning of conversations across executors produces identical output.
+  */
+object DocExtractor {
+
+  // --- v1 sentence-classifier cue regexes -----------------------------------
+  private def cre(s: String) = Pattern.compile(s, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  private val IssueCue = cre(
+    """\b(whether\b|the\s+(?:question|issue)\s+(?:is|arises|that\s+arises)|falls?\s+for\s+(?:consideration|determination)|issue\s+before\s+(?:us|the\s+court)|point\s+for\s+determination)""")
+
+  private val DispositionCues: List[(Pattern, String)] = List(
+    cre("""\b(?:appeal|petition|application|writ\s+petition|slp|revision)s?\s+(?:is|are|stands?)\s+(?:accordingly\s+)?partly\s+allowed\b""") -> "partly_allowed",
+    cre("""\b(?:appeal|petition|application|writ\s+petition|slp|revision)s?\s+(?:is|are|stands?)\s+(?:accordingly\s+)?allowed\b""") -> "allowed",
+    cre("""\b(?:appeal|petition|application|writ\s+petition|slp|revision)s?\s+(?:is|are|stands?)\s+(?:accordingly\s+)?(?:dismissed|rejected)\b""") -> "dismissed",
+    cre("""\b(?:matter|case)s?\s+(?:is|are|stands?)\s+remanded\b|\bremand(?:ed)?\s+(?:to|the\s+matter)\b""") -> "remanded",
+    cre("""\b(?:conviction|order|judgment|decree)s?\s+(?:is|are|stands?)?\s*(?:hereby\s+)?set\s+aside\b""") -> "set_aside",
+    cre("""\b(?:sentence|order|decree)s?\s+(?:is|are|stands?)\s+modified\b""") -> "modified")
+
+  private val ArgCue = cre(
+    """\b(?:contend(?:s|ed)?|submit(?:s|ted)?|argue(?:s|d)?|urged|canvassed|assert(?:s|ed)?)\b""")
+
+  private val FactCue = cre(
+    """\b(?:filed|issued|passed\s+an?\s+order|arrested|convicted|sentenced|terminated|dismissed\s+from\s+service|executed|entered\s+into|served|received|granted|rejected\s+the\s+application|acquired|notified|published|registered|lodged|paid|deposited|awarded)\b""")
+
+  private val ActorCuePairs: List[(String, String)] = List(
+    "appellant" -> "appellant", "petitioner" -> "petitioner",
+    "applicant" -> "petitioner", "plaintiff" -> "petitioner",
+    "respondent" -> "respondent", "defendant" -> "respondent",
+    "state" -> "respondent", "union of india" -> "respondent",
+    "accused" -> "accused", "prosecution" -> "prosecution",
+    "complainant" -> "complainant", "amicus" -> "amicus",
+    "learned counsel" -> "third_party", "intervenor" -> "third_party")
+
+  /** Treatment-pattern name → (holding→precedent relation) mapping. The
+    * pattern grammar's own relation strings ("follows", "distinguished",
+    * "overruled", ...) run through normalize→matrix→repair like every edge. */
+  private val TreatmentPatterns: Map[String, String] = Map(
+    "following_precedent" -> "follows",
+    "distinguishing_precedent" -> "distinguishes",
+    "doubting_precedent" -> "doubts",
+    "overruling_precedent" -> "overrules",
+    "explaining_precedent" -> "explains")
+
+  /** Patterns that create fact→concept edges when co-occurring in a sentence. */
+  private val FactConceptPatterns: Map[String, String] = Map(
+    "doctrine_invocation" -> "triggers",
+    "requirement_failure" -> "negates",
+    "conjunctive_satisfaction (AND logic)" -> "satisfies",
+    "disjunctive_sufficiency (OR logic)" -> "partially_satisfies")
+
+  final case class SignalHit(patternName: String, phrase: String, sentIdx: Int)
+  final case class ConceptHit(conceptId: String, phrase: String, sentIdx: Int, offsetInSent: Int)
+
+  /** Assemble turns into the conversation document: stable turn order, "\n"
+    * join (the reference's list-join adaptation, run_iltur.py:513-530). */
+  def assemble(turns: Seq[(Int, String)]): String =
+    turns.sortBy(_._1).map(t => Option(t._2).getOrElse("")).mkString("\n")
+
+  def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
+    Anchor(doc.docId, seg.startChar, seg.endChar,
+      Normalize.textHash16(doc.fullText.substring(seg.startChar, seg.endChar)),
+      seg.displayLocation, seg.text)
+
+  def anchorForSpan(doc: SegmentedDoc, start: Int, end: Int): Anchor = {
+    val loc = doc.segmentAt(start, end).map(_.displayLocation).getOrElse("")
+    Anchor(doc.docId, start, end,
+      Normalize.textHash16(doc.fullText.substring(start, end)), loc,
+      doc.fullText.substring(start, end))
+  }
+
+  /** Run the full per-conversation pipeline. */
+  def extract(
+      convId: String,
+      turns: Seq[(Int, String)],
+      ontology: OntologyData = Ontology.default,
+      jurisdiction: String = "in"): ConvGraph = {
+
+    val turkish = jurisdiction == "tr" || jurisdiction == "turkey"
+    val fullText = assemble(turns)
+    val docId = Normalize.docId(fullText)
+    val doc = Segmenter.segment(fullText, docId)
+    val warnings = ArrayBuffer.empty[String]
+
+    // ---- Stage 2: mention detection ----------------------------------------
+    val citations = Citations.extract(fullText, jurisdiction)
+
+    val sentLower: Vector[String] =
+      doc.sentences.map(s =>
+        if (turkish) Normalize.turkishLower(s.text) else s.text.toLowerCase(Locale.ROOT))
+
+    val signalHits = ArrayBuffer.empty[SignalHit]
+    val patterns = ontology.patterns.toList.sortBy(_._1)
+    var si = 0
+    while (si < doc.sentences.length) {
+      val low = sentLower(si)
+      for ((name, pat) <- patterns; ph <- pat.matchablePhrases if low.contains(ph))
+        signalHits += SignalHit(name, ph, si)
+      si += 1
+    }
+
+    val conceptHits = ArrayBuffer.empty[ConceptHit]
+    val concepts = ontology.concepts.toList.sortBy(_._1)
+    si = 0
+    while (si < doc.sentences.length) {
+      val low = sentLower(si)
+      for ((cid, cdef) <- concepts) {
+        var matched = false
+        var bestOff = Int.MaxValue
+        for (ph <- cdef.keyPhrases if ph.length >= 4) {
+          val phl = if (turkish) Normalize.turkishLower(ph) else ph.toLowerCase(Locale.ROOT)
+          val off = low.indexOf(phl)
+          if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
+        }
+        if (!matched) {
+          for (cn <- cdef.establishingCases if cn.length >= 8) {
+            val cnl = if (turkish) Normalize.turkishLower(cn) else cn.toLowerCase(Locale.ROOT)
+            val off = low.indexOf(cnl)
+            if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
+          }
+        }
+        if (matched) conceptHits += ConceptHit(cid, "", si, bestOff)
+      }
+      si += 1
+    }
+
+    // ---- Stage 3: node induction --------------------------------------------
+    val sigBySent: Map[Int, List[SignalHit]] =
+      signalHits.toList.groupBy(_.sentIdx)
+
+    def sentHasPattern(i: Int, names: Set[String]): Boolean =
+      sigBySent.getOrElse(i, Nil).exists(h => names.contains(h.patternName))
+
+    val holdingSents = doc.sentences.indices.filter(i =>
+      sentHasPattern(i, Set("primary_holding", "ratio_decidendi_marker"))).toVector
+    val issueSents = doc.sentences.indices.filter(i =>
+      IssueCue.matcher(doc.sentences(i).text).find() && !holdingSents.contains(i)).toVector
+    val outcomeSentOpt: Option[(Int, String)] = {
+      // last matching sentence wins (operative tail, like the AYM window
+      // selector's last-occurrence rule); within that sentence the FIRST cue
+      // in priority order wins ("appeal is allowed ... order is set aside"
+      // → allowed)
+      val lastIdx = doc.sentences.indices.reverse.find(i =>
+        DispositionCues.exists(_._1.matcher(doc.sentences(i).text).find()))
+      lastIdx.map { i =>
+        val disp = DispositionCues.collectFirst {
+          case (pat, d) if pat.matcher(doc.sentences(i).text).find() => d
+        }.get
+        (i, disp)
+      }
+    }
+    val argSents = doc.sentences.indices.filter(i =>
+      ArgCue.matcher(doc.sentences(i).text).find() &&
+        !holdingSents.contains(i) && !issueSents.contains(i)).toVector
+    val classified: Set[Int] =
+      holdingSents.toSet ++ issueSents ++ argSents ++ outcomeSentOpt.map(_._1).toSet
+    val factSents = doc.sentences.indices.filter(i =>
+      FactCue.matcher(doc.sentences(i).text).find() && !classified.contains(i)).toVector
+
+    val nodes = ArrayBuffer.empty[Node]
+    def blankNode(id: String, ntype: String, text: String, anchor: Anchor,
+                  confidence: String, method: String): Node =
+      Node(convId, id, ntype, text, null, null, null, null, null,
+        isRatio = false, null, null, null, null, null, null,
+        confidence, anchor, method)
+
+    // facts
+    factSents.zipWithIndex.foreach { case (i, n) =>
+      val seg = doc.sentences(i)
+      nodes += blankNode(s"f${n + 1}", "fact", seg.text, anchorFor(doc, seg), "high", "rule")
+        .copy(factType = "event",
+          relevance = "supporting")
+    }
+    // concepts: one per distinct ontology concept, anchored at first hit
+    val conceptFirstHit: List[(String, ConceptHit)] = conceptHits.toList
+      .groupBy(_.conceptId).toList
+      .map { case (cid, hits) => (cid, hits.minBy(h => (h.sentIdx, h.offsetInSent))) }
+      .sortBy { case (cid, h) => (h.sentIdx, h.offsetInSent, cid) }
+    conceptFirstHit.zipWithIndex.foreach { case ((cid, hit), n) =>
+      val seg = doc.sentences(hit.sentIdx)
+      val cdef = ontology.concepts(cid)
+      nodes += blankNode(s"c${n + 1}", "concept", cdef.label, anchorFor(doc, seg), "high", "rule")
+        .copy(conceptId = cid, kind = cdef.kind, relevance = "supporting")
+    }
+    // issues
+    issueSents.zipWithIndex.foreach { case (i, n) =>
+      val seg = doc.sentences(i)
+      nodes += blankNode(s"i${n + 1}", "issue", seg.text, anchorFor(doc, seg), "high", "rule")
+    }
+    // arguments
+    argSents.zipWithIndex.foreach { case (i, n) =>
+      val seg = doc.sentences(i)
+      val low = sentLower(i)
+      val actor = ActorCuePairs.collectFirst {
+        case (cue, a) if low.contains(cue) => a
+      }.getOrElse("third_party")
+      nodes += blankNode(s"a${n + 1}", "argument", seg.text, anchorFor(doc, seg), "high", "rule")
+        .copy(actor = actor)
+    }
+    // holdings
+    holdingSents.zipWithIndex.foreach { case (i, n) =>
+      val seg = doc.sentences(i)
+      nodes += blankNode(s"h${n + 1}", "holding", seg.text, anchorFor(doc, seg), "high", "rule")
+        .copy(isRatio = true)
+    }
+    // precedents
+    citations.zipWithIndex.foreach { case (c, n) =>
+      val a = anchorForSpan(doc, c.startChar, c.endChar)
+      nodes += blankNode(s"p${n + 1}", "precedent", c.citation, a, "high", "regex")
+        .copy(caseName = c.caseName.orNull, citation = c.citation,
+          citationType = c.citationType,
+          caseYear = c.caseYear.map(Int.box).orNull)
+    }
+    // outcome
+    outcomeSentOpt.foreach { case (i, disp) =>
+      val seg = doc.sentences(i)
+      nodes += blankNode("outcome", "outcome", seg.text, anchorFor(doc, seg), "high", "rule")
+        .copy(disposition = disp)
+    }
+
+    val byType: Map[String, Vector[Node]] = nodes.toVector.groupBy(_.nodeType)
+    val facts = byType.getOrElse("fact", Vector.empty)
+    val conceptNodes = byType.getOrElse("concept", Vector.empty)
+    val issues = byType.getOrElse("issue", Vector.empty)
+    val args = byType.getOrElse("argument", Vector.empty)
+    var holdings = byType.getOrElse("holding", Vector.empty)
+    val precedents = byType.getOrElse("precedent", Vector.empty)
+    val outcome = byType.getOrElse("outcome", Vector.empty).headOption
+
+    // ---- Stage 4: auto-fill resolves_issue (extractor.py:4587-4628) ---------
+    if (holdings.nonEmpty && issues.nonEmpty) {
+      def kwBilingual(n: Node): Set[String] = {
+        val combined = (Option(n.text).getOrElse("") + " " +
+          Option(n.anchor).map(_.surfaceText).getOrElse(""))
+        "\\b\\w{4,}\\b".r.findAllIn(combined.toLowerCase(Locale.ROOT)).toSet
+      }
+      holdings =
+        if (issues.size == 1) holdings.map(_.copy(resolvesIssue = issues.head.id))
+        else holdings.map { h =>
+          val hw = kwBilingual(h)
+          if (hw.isEmpty) h
+          else {
+            // argmax overlap; stable tie-break on issue order (reference
+            // iterates in extraction order and keeps strict '>')
+            val best = issues.maxBy(i => (kwBilingual(i).intersect(hw).size, -issues.indexOf(i)))
+            h.copy(resolvesIssue = best.id)
+          }
+        }
+    }
+
+    // ---- Stage 5: clustering (extractor.py:1409-1637) -----------------------
+    val nodeText: Map[String, String] = (facts ++ issues ++ args ++ holdings).map(n => n.id -> n.text).toMap ++
+      conceptNodes.map(n => n.id -> (n.conceptId + " " + n.text)).toMap ++
+      precedents.map(n => n.id -> List(Option(n.caseName), Option(n.citation)).flatten.mkString(" ")).toMap
+
+    final case class Cluster(
+        id: String, label: String, logic: String,
+        requires: List[String],
+        members: mutable.Map[String, ArrayBuffer[String]] =
+          mutable.Map("fact" -> ArrayBuffer.empty[String], "concept" -> ArrayBuffer.empty[String],
+            "issue" -> ArrayBuffer.empty[String], "argument" -> ArrayBuffer.empty[String],
+            "holding" -> ArrayBuffer.empty[String], "precedent" -> ArrayBuffer.empty[String]))
+
+    val clusters = mutable.LinkedHashMap.empty[String, Cluster]
+    for ((cid, cdef) <- concepts)
+      clusters(cid) = Cluster(cid, cdef.label, cdef.logic, cdef.requires)
+
+    val membership = mutable.Map.empty[String, ArrayBuffer[String]]
+    def addMember(clusterId: String, n: Node): Unit = {
+      clusters(clusterId).members(n.nodeType) += n.id
+      membership.getOrElseUpdate(n.id, ArrayBuffer.empty) += clusterId
+    }
+
+    // concepts → their ontology cluster (exact by construction)
+    val conceptNodeCluster = mutable.Map.empty[String, String]
+    for (c <- conceptNodes) {
+      val best = Ontology.bestConceptMatch(c.conceptId, c.text, ontology.concepts)
+        .getOrElse(c.conceptId)
+      if (!clusters.contains(best))
+        clusters(best) = Cluster(best, c.text, "and", Nil)
+      conceptNodeCluster(c.id) = best
+      addMember(best, c)
+    }
+
+    def scoreAgainst(text: String, cid: String): Int =
+      ontology.concepts.get(cid) match {
+        case Some(cdef) => Ontology.conceptMatchScore(text, cdef, turkish = turkish)
+        case None =>
+          val pseudoKw = Normalize.keywordSet(cid + " " + clusters(cid).label)
+          Normalize.keywordSet(text).intersect(pseudoKw).size
+      }
+
+    def argmaxCluster(text: String, candidates: Iterable[String], minScore: Int): Option[String] = {
+      var best: Option[String] = None
+      var bestScore = 0
+      for (cid <- candidates) {
+        val s = scoreAgainst(text, cid)
+        if (s > bestScore) { bestScore = s; best = Some(cid) }
+      }
+      best.filter(_ => bestScore >= minScore)
+    }
+
+    // issues: no primary_concepts in v1 → score fallback (min 3)
+    for (i <- issues)
+      argmaxCluster(i.text, clusters.keys.toList, 3).foreach(cid => addMember(cid, i))
+    // holdings: via resolves_issue → issue clusters, else score fallback
+    for (h <- holdings) {
+      val viaIssue = Option(h.resolvesIssue).toList
+        .flatMap(iid => membership.getOrElse(iid, ArrayBuffer.empty).toList)
+      if (viaIssue.nonEmpty) viaIssue.foreach(cid => clusters(cid).members("holding") += h.id)
+      if (viaIssue.nonEmpty) membership.getOrElseUpdate(h.id, ArrayBuffer.empty) ++= viaIssue
+      else argmaxCluster(h.text, clusters.keys.toList, 3).foreach(cid => addMember(cid, h))
+    }
+    // facts / arguments: min score 2, only clusters with issues/holdings/concepts
+    def seededClusters: List[String] = clusters.collect {
+      case (cid, cl) if cl.members("issue").nonEmpty || cl.members("holding").nonEmpty ||
+        cl.members("concept").nonEmpty => cid
+    }.toList
+    for (f <- facts)
+      argmaxCluster(f.text, seededClusters, 2).foreach(cid => addMember(cid, f))
+    for (a <- args)
+      argmaxCluster(a.text, seededClusters, 2).foreach(cid => addMember(cid, a))
+    // precedents: establishing-case containment first, else score
+    for (p <- precedents) {
+      val name = Option(p.caseName).getOrElse("").toLowerCase(Locale.ROOT)
+      val hits = if (name.nonEmpty)
+        concepts.collect { case (cid, cdef)
+          if cdef.establishingCases.exists(_.toLowerCase(Locale.ROOT).contains(name)) => cid }
+      else Nil
+      if (hits.nonEmpty) hits.foreach(cid => addMember(cid, p))
+      else argmaxCluster(nodeText(p.id), seededClusters, 2).foreach(cid => addMember(cid, p))
+    }
+
+    // requirement satisfaction (extractor.py:1600-1629)
+    val requirementRows = ArrayBuffer.empty[RequirementRow]
+    val factById = facts.map(f => f.id -> f).toMap
+    for ((cid, cl) <- clusters if cl.requires.nonEmpty && cl.members("fact").nonEmpty) {
+      for (req <- cl.requires) {
+        val reqKw = Normalize.keywordSet(req)
+        var bestFact: String = null
+        var bestScore = 0
+        for (fid <- cl.members("fact")) {
+          val f = factById(fid)
+          var s = reqKw.intersect(Normalize.keywordSet(f.text)).size
+          if (Normalize.looksNegative(f.text)) s = math.max(0, s - 2)
+          if (s > bestScore) { bestScore = s; bestFact = fid }
+        }
+        if (bestFact != null && bestScore >= 1)
+          requirementRows += RequirementRow(convId, cid, req, bestFact)
+        else
+          requirementRows += RequirementRow(convId, cid, req, null)
+      }
+    }
+
+    // prune empty clusters
+    val liveClusters = clusters.filter(_._2.members.values.exists(_.nonEmpty))
+
+    // ---- Stage 6: edge induction --------------------------------------------
+    val rawEdges = ArrayBuffer.empty[EdgeRow]
+    def mkEdge(id: String, src: String, tgt: String, rel: String, conf: String,
+               strength: String, critical: Boolean, anchor: Anchor,
+               explanation: String, method: String): EdgeRow =
+      EdgeRow(convId, id, src, tgt, rel, conf, strength, critical,
+        Seq.empty, explanation, anchor, method, null)
+
+    // (a) signal-grammar edges
+    val holdingBySent: Map[Int, Node] = holdingSents.zip(holdings).toMap
+    val factBySent: Map[Int, Node] =
+      factSents.zip(facts).toMap
+    val conceptNodeByCid: Map[String, Node] = conceptNodes.map(c => c.conceptId -> c).toMap
+    val conceptHitsBySent: Map[Int, List[String]] =
+      conceptHits.toList.groupBy(_.sentIdx).map { case (k, v) => k -> v.map(_.conceptId).distinct.sorted }
+
+    // precedent treatment: paragraph-level co-occurrence (the sentence
+    // splitter fragments on name abbreviations like "A.K.", so the signal and
+    // the citation routinely land in different sentence fragments of the same
+    // paragraph/turn): nearest holding → precedent, relation from the
+    // treatment pattern.
+    val sigByPara: Map[Int, List[SignalHit]] =
+      signalHits.toList.groupBy(h => doc.sentences(h.sentIdx).paraIndex)
+    val precedentsByPara: Map[Int, Vector[Node]] = precedents.groupBy { p =>
+      doc.paragraphs.indexWhere(pg =>
+        pg.startChar <= p.anchor.startChar && pg.endChar >= p.anchor.startChar)
+    }
+    for ((pi, hitList) <- sigByPara.toList.sortBy(_._1);
+         patName <- hitList.map(_.patternName).distinct.sorted
+           if TreatmentPatterns.contains(patName);
+         ps <- precedentsByPara.get(pi).toList; p <- ps) {
+      if (holdings.nonEmpty && pi >= 0) {
+        val paraStart = doc.paragraphs(pi).startChar
+        val h = holdings.minBy(h0 => (math.abs(h0.anchor.startChar - paraStart), h0.id))
+        val rel = TreatmentPatterns(patName)
+        rawEdges += mkEdge(s"e_${h.id}_${rel}_${p.id}", h.id, p.id, rel, "high",
+          "strong", critical = false, anchorFor(doc, doc.paragraphs(pi)), null, "rule")
+      }
+    }
+    // fact→concept pattern edges
+    for ((i, hitList) <- sigBySent.toList.sortBy(_._1);
+         hit <- hitList; relRaw <- FactConceptPatterns.get(hit.patternName).toList;
+         f <- factBySent.get(i).toList;
+         cid <- conceptHitsBySent.getOrElse(i, Nil);
+         c <- conceptNodeByCid.get(cid).toList) {
+      val conf = ontology.patterns.get(hit.patternName).flatMap(_.confidence).getOrElse("medium")
+      rawEdges += mkEdge(s"e_${f.id}_${relRaw}_${c.id}", f.id, c.id, relRaw, conf,
+        "moderate", critical = false, anchorFor(doc, doc.sentences(i)), null, "rule")
+    }
+
+    // (b) gated intra-cluster support edges (replaces LLM pass 8; gate per
+    //     extractor.py:4756-4763: ≥2 nodes and (holding or issue or ≥2 args))
+    for ((cid, cl) <- liveClusters.toList.sortBy(_._1)) {
+      val total = cl.members.values.map(_.size).sum
+      val gate = total >= 2 &&
+        (cl.members("holding").nonEmpty || cl.members("issue").nonEmpty || cl.members("argument").size >= 2)
+      if (gate) {
+        val tag = Normalize.sha1Hex8(cid)
+        var n = 0
+        def clusterEdge(src: String, tgt: String, rel: String): Unit = {
+          n += 1
+          val srcAnchor = nodes.find(_.id == src).map(_.anchor).orNull
+          rawEdges += mkEdge(s"e_${tag}_$n", src, tgt, rel, "medium", "moderate",
+            critical = false, srcAnchor, null, "rule")
+        }
+        val hs = cl.members("holding").toList.sorted
+        val is = cl.members("issue").toList.sorted
+        if (hs.nonEmpty) {
+          for (h <- hs) {
+            for (f <- cl.members("fact").toList.sorted) clusterEdge(f, h, "supports")
+            for (c <- cl.members("concept").toList.sorted) clusterEdge(c, h, "grounds")
+            for (a <- cl.members("argument").toList.sorted) clusterEdge(a, h, "supports")
+            for (p <- cl.members("precedent").toList.sorted) clusterEdge(p, h, "supports")
+          }
+        } else if (is.nonEmpty) {
+          for (i <- is) {
+            for (f <- cl.members("fact").toList.sorted) clusterEdge(f, i, "triggers")
+            for (c <- cl.members("concept").toList.sorted) clusterEdge(c, i, "addresses")
+            for (a <- cl.members("argument").toList.sorted) clusterEdge(a, i, "addresses")
+            for (p <- cl.members("precedent").toList.sorted) clusterEdge(p, i, "addresses")
+          }
+        }
+      }
+    }
+
+    // (c) structural edges (extractor.py:4119-4191)
+    for (h <- holdings; iid <- Option(h.resolvesIssue)) {
+      rawEdges += mkEdge(s"e_${h.id}_resolves_$iid", h.id, iid, "resolves",
+        if (h.anchor != null) "high" else "inferred", "strong", critical = false,
+        h.anchor, if (h.anchor != null) null else "Inferred from holding.resolves_issue field",
+        "rule")
+    }
+    outcome.foreach { o =>
+      val outcomeKw = Normalize.keywordSet(
+        Option(o.text).getOrElse("") + " " + Option(o.anchor).map(_.surfaceText).getOrElse(""))
+      val ratioHoldings = holdings.filter(_.isRatio)
+      if (ratioHoldings.nonEmpty) {
+        var scored = ratioHoldings.map(h =>
+          (Normalize.keywordSet(h.text).intersect(outcomeKw).size, h))
+        if (scored.forall(_._1 == 0)) {
+          // fall back to latest-by-anchor holding (extractor.py:4160-4168)
+          val bestH = scored.map(_._2).maxBy(h => (h.anchor.startChar, h.id))
+          scored = scored.map { case (_, h) => (if (h.id == bestH.id) 1 else 0, h) }
+        }
+        for ((overlap, h) <- scored) {
+          val (rel, critical, strength) =
+            if (overlap >= 1) ("determines", true, "strong")
+            else ("contributes_to", false, "moderate")
+          val anch = Option(o.anchor).getOrElse(h.anchor)
+          rawEdges += mkEdge(s"e_${h.id}_${rel}_outcome", h.id, "outcome", rel,
+            if (anch != null) "high" else "inferred", strength, critical, anch,
+            if (anch != null) null else "Inferred outcome linkage", "rule")
+        }
+      }
+    }
+
+    // normalize → validate → repair → drop (extractor.py:3676-3695 semantics)
+    val repairedEdges = rawEdges.flatMap { e =>
+      val rel = Relations.normalize(e.relation)
+      val (ok, _) = Relations.validate(e.source, e.target, rel)
+      if (ok) Some(e.copy(relation = rel))
+      else Relations.repair(e.source, e.target, rel) match {
+        case Some((s2, t2, r2, note)) =>
+          warnings += s"edge ${e.id} repaired: $note"
+          // repaired edges get downgraded confidence (extractor.py:3800-3819)
+          Some(e.copy(source = s2, target = t2, relation = r2,
+            confidence = if (e.confidence == "high") "medium" else e.confidence,
+            repairNote = note))
+        case None =>
+          warnings += s"edge ${e.id} dropped: no matrix entry for ${Relations.nodeTypeFromId(e.source)}->${Relations.nodeTypeFromId(e.target)}"
+          None
+      }
+    }
+
+    // dedupe by (source, target, relation), keep best confidence, stable sort
+    val deduped: Vector[EdgeRow] = repairedEdges
+      .groupBy(e => (e.source, e.target, e.relation))
+      .map { case (_, group) =>
+        group.maxBy(e => (Relations.ConfidenceRank.getOrElse(e.confidence, 0), e.id))
+      }
+      .toVector
+      .sortBy(e => (e.source, e.target, e.relation, e.id))
+
+    // ---- Stage 7: justification sets (extractor.py:4194-4276) ---------------
+    val jsRows = ArrayBuffer.empty[JustificationSetRow]
+    val supportGroupsByEdge = mutable.Map.empty[String, ArrayBuffer[String]]
+    var jsCounter = 1
+    val holdingClusterIds: Map[String, List[String]] =
+      liveClusters.toList.flatMap { case (cid, cl) => cl.members("holding").map(_ -> cid) }
+        .groupBy(_._1).map { case (h, l) => h -> l.map(_._2) }
+
+    for (h <- holdings) {
+      val supportEdges = deduped.filter(e =>
+        e.target == h.id && (e.relation == "supports" || e.relation == "grounds"))
+      if (supportEdges.nonEmpty) {
+        val cidOpt = holdingClusterIds.get(h.id).flatMap { cids =>
+          if (cids.isEmpty) None
+          else Some(cids.maxBy { cid =>
+            val cl = liveClusters(cid)
+            ((if (cl.requires.nonEmpty) 1 else 0,
+              cl.members("fact").size + cl.members("concept").size + cl.members("precedent").size), cid)
+          })
+        }
+        val logic = cidOpt.map(liveClusters(_).logic).getOrElse("and")
+        val label = cidOpt.map(c => s"${liveClusters(c).label} support").orNull
+        val jsId = s"js$jsCounter"; jsCounter += 1
+        jsRows += JustificationSetRow(convId, jsId, h.id, logic, label,
+          isPrimary = true, "high")
+        supportEdges.foreach(e =>
+          supportGroupsByEdge.getOrElseUpdate(e.id, ArrayBuffer.empty) += jsId)
+
+        val defeaterEdges = deduped.filter(e => e.target == h.id && e.relation == "undercuts")
+        if (defeaterEdges.nonEmpty) {
+          val djsId = s"js$jsCounter"; jsCounter += 1
+          jsRows += JustificationSetRow(convId, djsId, h.id, "or",
+            s"${Option(label).getOrElse(h.id)} defeaters", isPrimary = false, "medium")
+          defeaterEdges.foreach(e =>
+            supportGroupsByEdge.getOrElseUpdate(e.id, ArrayBuffer.empty) += djsId)
+        }
+      }
+    }
+    val finalEdges = deduped.map(e =>
+      supportGroupsByEdge.get(e.id) match {
+        case Some(groups) => e.copy(supportGroupIds = groups.toSeq)
+        case None => e
+      })
+
+    // ---- Stage 8: reasoning chains (extractor.py:4290-4369) -----------------
+    val chains = ArrayBuffer.empty[ChainRow]
+    val primaryJsFor: Map[String, String] =
+      jsRows.filter(_.isPrimary).map(j => j.targetId -> j.id).toMap
+    val edgesTo: Map[String, Vector[EdgeRow]] = finalEdges.groupBy(_.target)
+    val nodeTypeById: Map[String, String] = nodes.map(n => n.id -> n.nodeType).toMap
+
+    for (issue <- issues; holding <- holdings if holding.resolvesIssue == issue.id) {
+      val factIds = ArrayBuffer.empty[String]
+      val conceptIds = ArrayBuffer.empty[String]
+      val argIds = ArrayBuffer.empty[String]
+      val edgeIds = ArrayBuffer.empty[String]
+      val critical = ArrayBuffer.empty[String]
+      val visited = mutable.Set.empty[String]
+      val queue = mutable.Queue(holding.id)
+      while (queue.nonEmpty) {
+        val nid = queue.dequeue()
+        if (!visited.contains(nid)) {
+          visited += nid
+          for (e <- edgesTo.getOrElse(nid, Vector.empty)
+               if !Set("resolves", "determines", "contributes_to").contains(e.relation)) {
+            edgeIds += e.id
+            if (e.isCritical) critical += e.source
+            nodeTypeById.get(e.source) match {
+              case Some("fact") => factIds += e.source
+              case Some("concept") => conceptIds += e.source
+              case Some("argument") => argIds += e.source
+              case _ =>
+            }
+            if (!visited.contains(e.source)) queue += e.source
+          }
+        }
+      }
+      def uniq(xs: ArrayBuffer[String]): Seq[String] = xs.distinct.toSeq
+      val parts = ArrayBuffer(s"Issue ${issue.id} resolved by holding ${holding.id}.")
+      if (factIds.nonEmpty) parts += s"Facts: ${uniq(factIds).mkString(", ")}."
+      if (conceptIds.nonEmpty) parts += s"Concepts: ${uniq(conceptIds).mkString(", ")}."
+      if (argIds.nonEmpty) parts += s"Arguments: ${uniq(argIds).mkString(", ")}."
+      chains += ChainRow(convId, s"rc_${issue.id}_${holding.id}", issue.id, holding.id,
+        uniq(factIds), uniq(conceptIds), uniq(argIds), uniq(edgeIds),
+        primaryJsFor.get(holding.id).orNull, uniq(critical), parts.mkString(" "))
+    }
+
+    // ---- Stage 9: validation + tier (extractor.py:4822-4862) ----------------
+    val allIds = nodes.map(_.id).toSet ++ jsRows.map(_.id)
+    for (e <- finalEdges) {
+      if (!allIds.contains(e.source)) warnings += s"edge ${e.id} error: source ${e.source} missing"
+      if (!allIds.contains(e.target)) warnings += s"edge ${e.id} error: target ${e.target} missing"
+    }
+    val dupIds = nodes.groupBy(_.id).filter(_._2.size > 1).keys
+    dupIds.foreach(id => warnings += s"duplicate node id: $id")
+
+    val errorPatterns = List("error", "missing", "not found", "duplicate",
+      "requires anchor", "doesn't match", "invalid", "failed", "exceeds")
+    val cosmeticPatterns = List("repaired", "coerced", "normalized", "flipped")
+    val errorCount = warnings.count(w => errorPatterns.exists(w.toLowerCase.contains))
+    val substantive = warnings.count(w =>
+      !errorPatterns.exists(w.toLowerCase.contains) &&
+        !cosmeticPatterns.exists(w.toLowerCase.contains))
+    val hasHoldings = holdings.nonEmpty
+    val hasOutcome = outcome.nonEmpty
+    val hasChains = chains.nonEmpty
+    val tier =
+      if (errorCount == 0 && substantive <= 15 && hasHoldings && hasOutcome && hasChains) "gold"
+      else if (errorCount <= 2 && substantive <= 30 && hasHoldings && hasOutcome) "silver"
+      else if (errorCount <= 5) "bronze"
+      else "reject"
+
+    val allNodes = (facts ++ conceptNodes ++ issues ++ args ++ holdings ++ precedents ++ outcome.toVector)
+    val summary = ConvSummary(convId, docId, fullText.length, turns.size,
+      doc.paragraphs.size, doc.sentences.size,
+      facts.size, conceptNodes.size, issues.size, args.size, holdings.size,
+      precedents.size, outcome.size, finalEdges.size, jsRows.size, chains.size,
+      warnings.size, tier)
+
+    ConvGraph(summary, allNodes, finalEdges, jsRows.toVector, chains.toVector,
+      liveClusters.toList.sortBy(_._1).flatMap { case (cid, cl) =>
+        cl.members.toList.sortBy(_._1).flatMap { case (ntype, ids) =>
+          ids.map(nid => ClusterMemberRow(convId, cid, cl.label, cl.logic, nid, ntype))
+        }
+      }.toVector,
+      requirementRows.toVector, warnings.toVector)
+  }
+}

@@ -1,0 +1,149 @@
+package graft.kg.model
+
+/** Evidence anchor: exact char span into the assembled conversation document
+  * (schema_v2_1.py:205-231). */
+final case class Anchor(
+    docId: String,
+    startChar: Int,
+    endChar: Int,
+    textHash: String,
+    displayLocation: String,
+    surfaceText: String
+)
+
+/** One typed graph node, flattened across the 8 reference node kinds
+  * (schema_v2_1.py:263-508) with a `nodeType` discriminator. Per-kind fields
+  * are nullable. */
+final case class Node(
+    convId: String,
+    id: String,
+    nodeType: String,        // fact|concept|issue|argument|holding|precedent|outcome
+    text: String,
+    conceptId: String,       // concepts: ontology id; null otherwise
+    kind: String,            // concepts: ConceptKind
+    actor: String,           // arguments: ActorType
+    factType: String,        // facts: FactType
+    relevance: String,
+    isRatio: Boolean,        // holdings
+    resolvesIssue: String,   // holdings → issue id
+    disposition: String,     // outcome
+    caseName: String,        // precedents
+    citation: String,        // precedents
+    citationType: String,    // precedents
+    caseYear: Integer,       // precedents (nullable)
+    confidence: String,
+    anchor: Anchor,          // nullable
+    method: String           // regex|rule
+)
+
+/** One typed edge — the (subj, pred, obj) triple carrier
+  * (schema_v2_1.py:509-549). */
+final case class EdgeRow(
+    convId: String,
+    id: String,
+    source: String,
+    target: String,
+    relation: String,
+    confidence: String,
+    strength: String,
+    isCritical: Boolean,
+    supportGroupIds: Seq[String],
+    explanation: String,     // nullable
+    anchor: Anchor,          // nullable
+    method: String,
+    repairNote: String       // nullable; "ok" edges carry null
+)
+
+/** A justification set node (schema_v2_1.py:488-508; built per
+  * extractor.py:4194-4276). */
+final case class JustificationSetRow(
+    convId: String,
+    id: String,
+    targetId: String,
+    logic: String,           // and|or
+    label: String,
+    isPrimary: Boolean,
+    confidence: String
+)
+
+/** A reasoning chain (schema_v2_1.py:555-585; built per
+  * extractor.py:4290-4369). */
+final case class ChainRow(
+    convId: String,
+    id: String,
+    issueId: String,
+    holdingId: String,
+    factIds: Seq[String],
+    conceptIds: Seq[String],
+    argumentIds: Seq[String],
+    edgeIds: Seq[String],
+    justificationSetId: String, // nullable
+    criticalNodes: Seq[String],
+    narrative: String
+)
+
+/** Cluster membership row (extractor.py:1409-1637). */
+final case class ClusterMemberRow(
+    convId: String,
+    clusterId: String,
+    clusterLabel: String,
+    logic: String,
+    nodeId: String,
+    nodeType: String
+)
+
+/** Requirement-satisfaction row (extractor.py:1600-1629). */
+final case class RequirementRow(
+    convId: String,
+    clusterId: String,
+    requirement: String,
+    satisfiedBy: String // fact id, nullable
+)
+
+/** Per-conversation extraction summary (the checkpoint-stats analog,
+  * run_iltur.py:748-797). */
+final case class ConvSummary(
+    convId: String,
+    docId: String,
+    docChars: Int,
+    nTurns: Int,
+    nParagraphs: Int,
+    nSentences: Int,
+    nFacts: Int,
+    nConcepts: Int,
+    nIssues: Int,
+    nArguments: Int,
+    nHoldings: Int,
+    nPrecedents: Int,
+    nOutcomes: Int,
+    nEdges: Int,
+    nJustificationSets: Int,
+    nChains: Int,
+    nWarnings: Int,
+    qualityTier: String
+)
+
+/** The complete per-conversation extraction result. */
+final case class ConvGraph(
+    summary: ConvSummary,
+    nodes: Vector[Node],
+    edges: Vector[EdgeRow],
+    justificationSets: Vector[JustificationSetRow],
+    chains: Vector[ChainRow],
+    clusterMembers: Vector[ClusterMemberRow],
+    requirements: Vector[RequirementRow],
+    warnings: Vector[String]
+)
+
+/** The input row shape (BASELINE.json input_hint). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: java.sql.Timestamp
+)
+
+/** A (subj, pred, obj) triple row. */
+final case class Triple(convId: String, subj: String, pred: String, obj: String)

@@ -1,0 +1,257 @@
+package graft.kg.ontology
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.kg.text.Normalize
+import java.util.regex.Pattern
+import scala.jdk.CollectionConverters._
+
+/** One ontology concept definition (compiled form). */
+final case class ConceptDef(
+    id: String,
+    label: String,
+    kind: String,
+    logic: String,               // "and" | "or" (parsed from requires marker)
+    requires: List[String],
+    defeaters: List[String],
+    keyPhrases: List[String],
+    establishingCases: List[String],
+    typicalFactPatterns: List[String]
+) {
+  /** Pre-computed keyword sets for scoring. */
+  lazy val conceptKeywords: Set[String] =
+    Normalize.keywordSet((label :: requires ::: defeaters ::: keyPhrases).mkString(" "))
+  lazy val requiresKeywords: Set[String] = Normalize.keywordSet(requires.mkString(" "))
+  lazy val idAndTextKeywords: Set[String] =
+    Normalize.keywordSet((id :: label :: requires ::: keyPhrases).mkString(" "))
+}
+
+/** One signal-phrase pattern: curated phrases that mark an edge-creating
+  * rhetorical move (ontology_compiled.json `patterns`). */
+final case class SignalPattern(
+    name: String,
+    signals: List[String],
+    relation: Option[String],
+    confidence: Option[String],
+    sourceRole: Option[String],
+    targetRole: Option[String]
+) {
+  /** Lowercased literal phrases for substring matching. Signals containing
+    * placeholders ("[case]") or ellipses split into segments; the longest
+    * contiguous literal segment is matched (curated signal phrases are
+    * distinctive enough that the longest segment keeps precision). */
+  lazy val matchablePhrases: List[String] = signals.flatMap { s =>
+    val segments = s.split("\\[[^\\]]*\\]|\\.\\.\\.|\u2026").map(_.trim).filter(_.length >= 5)
+    if (segments.isEmpty) Nil
+    else List(segments.maxBy(_.length).toLowerCase(java.util.Locale.ROOT))
+  }.distinct
+}
+
+final case class OntologyData(
+    concepts: Map[String, ConceptDef],
+    patterns: Map[String, SignalPattern],
+    statuteMappings: Map[String, String]
+)
+
+/** Loader + scoring for the compiled ontology (the broadcast alias
+  * dictionary of the engine). Data derives from the reference's compiled
+  * ontology JSON (ontology_compiled.json; loaders extractor.py:966-977,
+  * 1091-1107, 1312-1406; scoring extractor.py:1132-1303).
+  */
+object Ontology {
+
+  private val QuotedRe = Pattern.compile("\"(.*?)\"")
+
+  /** Parse a key_phrases string — prefer quoted phrases, else comma split
+    * (extractor.py:1091-1107). */
+  def parseKeyPhrases(raw: String): List[String] = {
+    if (raw == null || raw.isEmpty) return Nil
+    val m = QuotedRe.matcher(raw)
+    val quoted = Iterator.continually(m).takeWhile(_.find()).map(_.group(1).trim).toList
+    if (quoted.nonEmpty) quoted.filter(_.nonEmpty)
+    else raw.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'").trim).filter(_.nonEmpty).toList
+  }
+
+  private val NumberedRe = Pattern.compile("(?m)^\\s*\\d+[.)]\\s*")
+
+  /** Normalize a requires field: `[AND]/[OR]` marker + list/string forms
+    * (extractor.py:1312-1379). Returns (logic, requirements). */
+  def normalizeRequires(raw: Any): (String, List[String]) = raw match {
+    case null => ("and", Nil)
+    case l: List[_] =>
+      val items = l.map(x => String.valueOf(x).trim)
+      if (items.isEmpty) ("and", Nil)
+      else {
+        val first = items.head.toUpperCase
+        val logic = if (first.startsWith("[OR")) "or" else "and"
+        val start = if (first.startsWith("[")) 1 else 0
+        (logic, items.drop(start).filter(s => s.nonEmpty && !s.toUpperCase.startsWith("[")))
+      }
+    case s: String =>
+      var text = s.trim
+      if (text.isEmpty) return ("and", Nil)
+      var logic = "and"
+      val up = text.toUpperCase
+      if (up.startsWith("[OR")) { logic = "or"; text = text.replaceFirst("(?i)^\\s*\\[OR\\]?\\s*", "") }
+      else if (up.startsWith("[AND")) { text = text.replaceFirst("(?i)^\\s*\\[AND\\]?\\s*", "") }
+      val parts =
+        if (NumberedRe.matcher(text).find()) text.split("\\d+[.)]\\s*")
+        else text.split("[\\n;]+")
+      (logic, parts.map(_.trim).filter(_.nonEmpty).toList)
+    case _ => ("and", Nil)
+  }
+
+  /** Normalize a defeaters field (extractor.py:1382-1406). */
+  def normalizeDefeaters(raw: Any): List[String] = raw match {
+    case null => Nil
+    case l: List[_] => l.map(x => String.valueOf(x).trim).filter(_.nonEmpty)
+    case s: String =>
+      val text = s.trim
+      if (text.isEmpty) Nil
+      else {
+        val parts =
+          if (NumberedRe.matcher(text).find()) text.split("\\d+[.)]\\s*")
+          else text.split("[\\n;]+")
+        parts.map(_.trim).filter(_.nonEmpty).toList
+      }
+    case _ => Nil
+  }
+
+  /** Split a comma/semicolon/newline-separated names field. */
+  def splitNames(raw: Any): List[String] = raw match {
+    case null => Nil
+    case l: List[_] => l.map(x => String.valueOf(x).trim).filter(_.nonEmpty)
+    case s: String => s.split("[\\n;]+|,").map(_.trim).filter(_.nonEmpty).toList
+    case _ => Nil
+  }
+
+  private def jsonToScala(n: JsonNode): Any = {
+    if (n == null || n.isNull) null
+    else if (n.isArray) n.elements().asScala.map(jsonToScala).toList
+    else if (n.isTextual) n.asText()
+    else n.asText()
+  }
+
+  /** Parse the compiled ontology JSON (resource or file content). */
+  def parse(json: String): OntologyData = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(json)
+    val concepts = Option(root.get("concepts")).map { cn =>
+      cn.properties().asScala.map { e =>
+        val id = e.getKey
+        val c = e.getValue
+        def str(f: String): String = Option(c.get(f)).filterNot(_.isNull).map(_.asText()).getOrElse("")
+        val (logic, requires) = normalizeRequires(jsonToScala(c.get("requires")))
+        val defeaters = normalizeDefeaters(jsonToScala(c.get("defeaters")))
+        id -> ConceptDef(
+          id = id,
+          label = if (str("label").nonEmpty) str("label") else id,
+          kind = str("kind"),
+          logic = logic,
+          requires = requires,
+          defeaters = defeaters,
+          keyPhrases = parseKeyPhrases(str("key_phrases")),
+          establishingCases = splitNames(jsonToScala(c.get("establishing_cases"))),
+          typicalFactPatterns = splitNames(jsonToScala(c.get("typical_fact_patterns")))
+        )
+      }.toMap
+    }.getOrElse(Map.empty)
+
+    val patterns = Option(root.get("patterns")).map { pn =>
+      pn.properties().asScala.map { e =>
+        val name = e.getKey
+        val p = e.getValue
+        def optStr(f: String): Option[String] =
+          Option(p.get(f)).filterNot(_.isNull).map(_.asText()).filter(_.nonEmpty).filter(_ != "null")
+        val signals = Option(p.get("signals")).filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toList).getOrElse(Nil)
+        val ce = Option(p.get("creates_edge")).filterNot(_.isNull)
+        name -> SignalPattern(
+          name = name,
+          signals = signals,
+          relation = optStr("relation"),
+          confidence = optStr("confidence"),
+          sourceRole = ce.flatMap(n => Option(n.get("source_role")).filterNot(_.isNull).map(_.asText())),
+          targetRole = ce.flatMap(n => Option(n.get("target_role")).filterNot(_.isNull).map(_.asText()))
+        )
+      }.toMap
+    }.getOrElse(Map.empty)
+
+    val statutes = Option(root.get("statute_mappings")).filterNot(_.isNull).map { sn =>
+      sn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+
+    OntologyData(concepts, patterns, statutes)
+  }
+
+  /** The default compiled ontology shipped as a resource. */
+  lazy val default: OntologyData = {
+    val in = getClass.getResourceAsStream("/graft/ontology.json")
+    require(in != null, "missing resource /graft/ontology.json")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    parse(json)
+  }
+
+  /** Weighted relevance score between node text and a concept definition
+    * (extractor.py:1216-1303 `_concept_match_score`): key-phrase hits
+    * (+phraseWeight each), establishing-case containment (+8 once, len≥8),
+    * typical fact pattern (+3 once), generic keyword overlap (cap 4),
+    * requirement keyword overlap (cap 4). */
+  def conceptMatchScore(
+      nodeText: String,
+      c: ConceptDef,
+      phraseWeight: Int = 5,
+      turkish: Boolean = false): Int = {
+    if (nodeText == null || nodeText.isEmpty) return 0
+    val (txtNorm, _) = Normalize.normalizeWithMapping(nodeText)
+    val txtNormL =
+      if (turkish) Normalize.turkishLower(txtNorm) else txtNorm.toLowerCase(java.util.Locale.ROOT)
+
+    var score = 0
+    for (ph <- c.keyPhrases if ph.nonEmpty && Normalize.containsPhrase(nodeText, ph, turkish))
+      score += phraseWeight
+
+    val caseHit = c.establishingCases.exists { cn0 =>
+      val (cn, _) = Normalize.normalizeWithMapping(cn0)
+      val cnt = cn.trim
+      val cnl = if (turkish) Normalize.turkishLower(cnt) else cnt.toLowerCase(java.util.Locale.ROOT)
+      cnt.length >= 8 && txtNormL.contains(cnl)
+    }
+    if (caseHit) score += 8
+
+    val patHit = c.typicalFactPatterns.exists(p =>
+      p.nonEmpty && Normalize.containsPhrase(nodeText, p, turkish))
+    if (patHit) score += 3
+
+    val nodeKw = Normalize.keywordSet(nodeText)
+    score += math.min(4, nodeKw.intersect(c.conceptKeywords).size)
+    score += math.min(4, nodeKw.intersect(c.requiresKeywords).size)
+    score
+  }
+
+  /** Best ontology concept for a raw concept id + text: exact id, substring of
+    * id (longest), structured-prefix guard, else keyword-overlap argmax ≥ 2
+    * (extractor.py:1132-1194). Ties break on lexicographically smallest id for
+    * parallel determinism. */
+  def bestConceptMatch(
+      conceptId: String,
+      nodeText: String,
+      concepts: Map[String, ConceptDef]): Option[String] = {
+    if (conceptId == null || conceptId.trim.isEmpty) return None
+    val cid = conceptId.trim
+    if (concepts.contains(cid)) return Some(cid)
+    val sub = concepts.keys.filter(_.contains(cid))
+    if (sub.nonEmpty) return Some(sub.toList.sortBy(k => (-k.length, k)).head)
+    val rawId = cid.toUpperCase
+    if (List("CONST_", "STATUTE_", "PROCEDURE_", "REMEDY_", "RIGHT_").exists(rawId.startsWith))
+      return None
+    val nodeKw = Normalize.keywordSet(cid + " " + Option(nodeText).getOrElse(""))
+    if (nodeKw.isEmpty) return None
+    val scored = concepts.toList.map { case (id, c) =>
+      (id, nodeKw.intersect(c.idAndTextKeywords).size)
+    }.filter(_._2 >= 2)
+    if (scored.isEmpty) None
+    else Some(scored.minBy { case (id, s) => (-s, id) }._1)
+  }
+}

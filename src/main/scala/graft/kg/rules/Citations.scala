@@ -1,0 +1,126 @@
+package graft.kg.rules
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** A regex-detected citation span with exact char offsets. */
+final case class CitationHit(
+    citation: String,
+    startChar: Int,
+    endChar: Int,
+    citationType: String,
+    caseName: Option[String],
+    caseYear: Option[Int]
+)
+
+/** Deterministic citation extraction for Indian / ECHR / Turkish legal text.
+  *
+  * Pattern grammar re-expressed in Java regex from the reference's citation
+  * pre-pass (citation_preprocess.py:58-261); overlap dedup keeps the longest
+  * span (citation_preprocess.py:374-394). This is the "accuracy floor" scan
+  * that feeds precedent-node induction.
+  */
+object Citations {
+
+  private def p(re: String): Pattern =
+    Pattern.compile(re, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  // --- Indian ---
+  private val InAir = p("""\bAIR\s+(\d{4})\s+(SC|Del|Bom|Mad|Cal|All|Ker|Kar|Pat|P&H|Guj|AP|HP|J&K|Ori|Raj|MP|Gau|Tri|NOC)\s+\d+""")
+  private val InSccParen = p("""\(\d{4}\)\s+\d{1,2}\s+SCC\s+\d+""")
+  private val InSccOnline = p("""\b\d{4}\s+SCC\s+OnLine\s+(?:SC|Del|Bom|Mad|Cal|All|Ker|Kar|Pat|P[\s&]*H|Guj|AP|HP|J[\s&]*K|Ori|Raj|MP|Gau|Tri|Chh|Utt|Jhar)\s+\d+""")
+  private val InScr = p("""(?:\(\d{4}\)\s+\d{1,2}\s+SCR\s+\d+|\d{4}\s+SCR\s*\(\d{1,2}\)\s+\d+)""")
+  private val InCaseNumber = p("""\b(?:Crl\.?\s*A\.?|W\.?P\.?\s*\(?\s*(?:C|Crl)\.?\s*\)?|SLP\s*\(?\s*(?:C|Crl)\.?\s*\)?|C\.?A\.?|T\.?C\.?\s*\(?\s*C\.?\s*\)?|M\.?A\.?)\s*(?:No\.?\s*)?\d+\s+of\s+\d{4}""")
+  private val InManu = p("""\bMANU/[A-Z]{2}/\d+/\d{4}""")
+  private val InIlr = p("""\bILR\s+\d{4}\s+[A-Z]{2,4}\s+\d+""")
+
+  // --- ECHR ---
+  private val EchrAppNo = p("""\b[Aa]pplication\s+nos?\.?\s+(\d{1,6}/\d{2,4})(?:\s+and\s+\d{1,6}/\d{2,4})*""")
+  private val EchrBareAppNo = p("""\bnos?\.?\s+(\d{1,6}/\d{2,4})""")
+  private val EchrNameFrag = """[A-ZÀ-Ž][A-Za-zÀ-žà-ž'\-]+"""
+  private val EchrCaseV = Pattern.compile(
+    s"""($EchrNameFrag(?:\\s+(?:and|et)\\s+(?:Others|Autres|$EchrNameFrag))*)\\s+v\\.?\\s+((?:the\\s+)?$EchrNameFrag(?:\\s+$EchrNameFrag)*)\\s*(?:\\[(?:GC|dec\\.|comm\\.)\\])?""")
+  private val EchrSeries = p("""\b(?:Series\s+A\s+no\.?\s*\d+|Reports?\s+(?:of\s+Judgments\s+and\s+Decisions\s+)?\d{4}(?:\-[IVXLCDM]+)?)""")
+  private val EchrReportYear = p("""\bECHR\s+\d{4}(?:\s*[-–]\s*[IVXLCDM]+)?(?:\s*\(extracts?\))?""")
+
+  // --- Turkish ---
+  private val TrAymEk = p("""\b(?:AYM|Anayasa\s+Mahkemesi)\s*[,;]?\s*E\.?\s*(\d{4})/(\d+)\s*[,;]\s*K\.?\s*(\d{4})/(\d+)""")
+  private val TrEkCombined = p("""(\d{4})/(\d+)\s*E\.\s*[,;]\s*(\d{4})/(\d+)\s*K\.""")
+  private val TrYargitay = p("""\bYarg[ıi]tay\s+(?:\d+\.\s*)?(?:Ceza|Hukuk|Daire)\s*(?:si|Dairesi)?\s*[,;]?\s*(?:E\.?\s*\d{4}/\d+)?""")
+  private val TrDanistay = p("""\bDan[ıi][şs]tay\s+(?:\d+\.\s*)?(?:Daire|İdari\s+Dava)\s*(?:si|Dairesi)?\s*[,;]?\s*(?:E\.?\s*\d{4}/\d+)?""")
+  private val TrBasvuru = p("""\b(?:[Bb]a[şs]vuru\s+(?:numaras[ıi]|[Nn]o\.?))\s*[,:;]?\s*(\d{4}/\d+)""")
+  private val TrRg = p("""\b(?:Resm[iî]\s+Gazete|R\.?\s*G\.?)\s*[,:;]?\s*(?:tarih|say[ıi])?\s*[,:;]?\s*\d+[./]\d+[./]?\d*""")
+  private val TrKanun = p("""\b(\d{3,5})\s+say[ıi]l[ıi]\s+(?:Kanun|(?:T\.?)?(?:C\.?)?K\.?|HMK|CMK|TMK|TTK|[A-ZÇĞİÖŞÜ]{2,5})""")
+  private val TrEsas = p("""\b(?:E\.?\s*(\d{4})/(\d+)|(\d{4})/(\d+)\s*E\.)""")
+  private val TrKarar = p("""\b(?:K\.?\s*(\d{4})/(\d+)|(\d{4})/(\d+)\s*K\.)""")
+
+  val IndianPatterns: List[(Pattern, String)] = List(
+    InAir -> "air", InSccParen -> "scc", InSccOnline -> "scc_online",
+    InScr -> "scr", InManu -> "manu", InIlr -> "ilr", InCaseNumber -> "case_number")
+
+  val EchrPatterns: List[(Pattern, String)] = List(
+    EchrAppNo -> "echr_appno", EchrCaseV -> "echr_case_v", EchrSeries -> "echr_series",
+    EchrReportYear -> "echr_report", EchrBareAppNo -> "echr_bare_appno")
+
+  val TurkishPatterns: List[(Pattern, String)] = List(
+    TrAymEk -> "tr_aym", TrEkCombined -> "tr_ek_combined", TrYargitay -> "tr_yargitay",
+    TrDanistay -> "tr_danistay", TrBasvuru -> "tr_basvuru", TrRg -> "tr_resmi_gazete",
+    TrKanun -> "tr_kanun", TrEsas -> "tr_esas", TrKarar -> "tr_karar")
+
+  def patternsFor(jurisdiction: String): List[(Pattern, String)] =
+    jurisdiction.toLowerCase.trim match {
+      case "in" | "india"  => IndianPatterns
+      case "echr"          => EchrPatterns
+      case "tr" | "turkey" => TurkishPatterns
+      case _               => Nil
+    }
+
+  private val YearRe = Pattern.compile("""\b((?:19|20)\d{2})\b""")
+
+  /** First 4-digit year in a citation string (citation_preprocess.py:366-372). */
+  def extractYear(text: String): Option[Int] = {
+    val m = YearRe.matcher(text)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  /** Scan text for citation hits with offsets, then dedupe overlapping spans
+    * keeping the longest (sort by (start, -len), greedy sweep). */
+  def extract(text: String, jurisdiction: String): List[CitationHit] = {
+    val pats = patternsFor(jurisdiction)
+    if (text == null || text.isEmpty || pats.isEmpty) return Nil
+    val raw = ArrayBuffer.empty[CitationHit]
+    for ((pat, ctype) <- pats) {
+      val m = pat.matcher(text)
+      while (m.find()) {
+        val citationText = m.group(0).trim
+        val caseName =
+          if (ctype == "echr_case_v" && m.groupCount() >= 2)
+            Option(m.group(1)).zip(Option(m.group(2))).map { case (a, b) => s"$a v. $b" }
+          else None
+        raw += CitationHit(citationText, m.start(), m.end(), ctype, caseName,
+          extractYear(citationText))
+      }
+    }
+    dedupeOverlapping(raw.toList)
+  }
+
+  /** Keep the longest span among overlaps (citation_preprocess.py:374-394). */
+  def dedupeOverlapping(hits: List[CitationHit]): List[CitationHit] = {
+    if (hits.isEmpty) return Nil
+    val sorted = hits.sortBy(h => (h.startChar, -(h.endChar - h.startChar)))
+    val out = ArrayBuffer.empty[CitationHit]
+    var lastEnd = -1
+    for (h <- sorted) {
+      if (h.startChar >= lastEnd) { out += h; lastEnd = h.endChar }
+    }
+    out.toList
+  }
+
+  /** Stable canonical id for cross-conversation precedent canonicalization:
+    * normalized case name when present, else whitespace-collapsed lowercase
+    * citation string prefixed by type. */
+  def normalizedId(h: CitationHit): String = {
+    val base = h.caseName.getOrElse(h.citation)
+    h.citationType + ":" + base.toLowerCase.replaceAll("\\s+", " ").trim
+  }
+}

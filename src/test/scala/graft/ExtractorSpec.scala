@@ -1,0 +1,148 @@
+package graft
+
+import graft.kg.extract.DocExtractor
+import graft.kg.gen.TranscriptGen
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure (no-Spark) tests of the per-conversation extraction pipeline over a
+  * hand-written fixture conversation, mirroring the reference's scripted
+  * full-pipeline tests (unified_testing_bench.py:1035-1065,
+  * test_extraction.py:432-615). */
+class ExtractorSpec extends AnyFunSuite {
+
+  // A fixture conversation exercising every node rule: facts (event cues, one
+  // negative), an issue ("whether"), arguments (contends/submits), precedents
+  // (AIR citation + following signal), concepts (natural-justice key phrase),
+  // holding (primary_holding signal), outcome (disposition).
+  val turns: Seq[(Int, String)] = Seq(
+    0 -> "This matter concerns a dispute between Ram Kumar and State of Punjab arising in 1998.",
+    1 -> "The petitioner Ram Kumar was dismissed from service without being granted any opportunity of hearing in 1998.",
+    2 -> "No notice was served upon the petitioner and no enquiry was conducted before the order was passed.",
+    3 -> "The petitioner contends that the order was passed without affording a fair opportunity to answer the allegations.",
+    4 -> "The respondent submits that the procedure followed was just, fair and reasonable in the circumstances.",
+    5 -> "As held in A.K. Kraipak v. Union of India, AIR 1970 SC 150, the rules of natural justice operate in areas not covered by any law validly made.",
+    6 -> "The question is whether the impugned order violates the principles of natural justice.",
+    7 -> "We hold that the impugned order cannot be sustained as it was passed in violation of the principles of natural justice.",
+    8 -> "In the result, the appeal is accordingly allowed and the impugned order is set aside.")
+
+  lazy val g = DocExtractor.extract("conv_fix", turns)
+
+  test("node induction finds every node type") {
+    val byType = g.nodes.groupBy(_.nodeType).view.mapValues(_.size).toMap
+    assert(byType.getOrElse("fact", 0) >= 1, s"facts: $byType")
+    assert(byType.getOrElse("issue", 0) == 1)
+    assert(byType.getOrElse("argument", 0) >= 2)
+    assert(byType.getOrElse("holding", 0) == 1)
+    assert(byType.getOrElse("precedent", 0) >= 1)
+    assert(byType.getOrElse("outcome", 0) == 1)
+    assert(byType.getOrElse("concept", 0) >= 1)
+  }
+
+  test("anchors carry exact offsets into the assembled document") {
+    val fullText = DocExtractor.assemble(turns)
+    for (n <- g.nodes if n.anchor != null) {
+      val span = fullText.substring(n.anchor.startChar, n.anchor.endChar)
+      assert(span.trim == n.anchor.surfaceText.trim || span == n.anchor.surfaceText,
+        s"anchor mismatch for ${n.id}")
+      assert(n.anchor.textHash == graft.kg.text.Normalize.textHash16(span))
+    }
+  }
+
+  test("outcome disposition derived from cue") {
+    val o = g.nodes.find(_.nodeType == "outcome").get
+    assert(o.disposition == "allowed")
+  }
+
+  test("holding resolves the single issue and determines the outcome") {
+    val h = g.nodes.find(_.nodeType == "holding").get
+    val i = g.nodes.find(_.nodeType == "issue").get
+    assert(h.resolvesIssue == i.id)
+    assert(g.edges.exists(e => e.source == h.id && e.target == i.id && e.relation == "resolves"))
+    assert(g.edges.exists(e =>
+      e.source == h.id && e.target == "outcome" &&
+        (e.relation == "determines" || e.relation == "contributes_to")))
+  }
+
+  test("precedent treatment edge from signal + citation co-occurrence") {
+    val p = g.nodes.find(_.nodeType == "precedent").get
+    val h = g.nodes.find(_.nodeType == "holding").get
+    assert(g.edges.exists(e => e.source == h.id && e.target == p.id && e.relation == "follows"))
+  }
+
+  test("every edge satisfies the validation matrix") {
+    for (e <- g.edges) {
+      val (ok, msg) = graft.kg.rules.Relations.validate(e.source, e.target, e.relation)
+      assert(ok, s"${e.id}: $msg")
+    }
+  }
+
+  test("edges are deduped by (source, target, relation) and sorted") {
+    val sigs = g.edges.map(e => (e.source, e.target, e.relation))
+    assert(sigs == sigs.distinct)
+    assert(sigs == sigs.sortBy(identity))
+  }
+
+  test("edge endpoints reference existing nodes") {
+    val ids = g.nodes.map(_.id).toSet
+    for (e <- g.edges) {
+      assert(ids.contains(e.source), s"missing source ${e.source}")
+      assert(ids.contains(e.target), s"missing target ${e.target}")
+    }
+  }
+
+  test("justification sets attach support_group_ids to support edges") {
+    assert(g.justificationSets.nonEmpty)
+    val js = g.justificationSets.find(_.isPrimary).get
+    val h = g.nodes.find(_.nodeType == "holding").get
+    assert(js.targetId == h.id)
+    val tagged = g.edges.filter(_.supportGroupIds.contains(js.id))
+    assert(tagged.nonEmpty)
+    assert(tagged.forall(e => e.target == h.id &&
+      (e.relation == "supports" || e.relation == "grounds")))
+  }
+
+  test("reasoning chain traverses upstream support structure") {
+    assert(g.chains.size == 1)
+    val ch = g.chains.head
+    assert(ch.issueId == g.nodes.find(_.nodeType == "issue").get.id)
+    assert(ch.holdingId == g.nodes.find(_.nodeType == "holding").get.id)
+    assert(ch.edgeIds.nonEmpty)
+    assert(ch.justificationSetId != null)
+  }
+
+  test("fixture conversation earns gold tier") {
+    assert(g.summary.qualityTier == "gold", s"warnings: ${g.warnings.mkString("; ")}")
+  }
+
+  test("extraction is deterministic") {
+    val g2 = DocExtractor.extract("conv_fix", scala.util.Random.shuffle(turns.toList))
+    assert(g2.nodes == g.nodes)
+    assert(g2.edges == g.edges)
+    assert(g2.chains == g.chains)
+  }
+
+  test("generated conversations extract non-trivially at any id") {
+    for (i <- List(0, 7, 123)) {
+      val cid = f"conv_$i%06d"
+      val conv = TranscriptGen.conversation(cid, 14)
+      val cg = DocExtractor.extract(cid, conv.map(t => (t.turn_idx, t.text)))
+      assert(cg.nodes.nonEmpty, cid)
+      assert(cg.edges.nonEmpty, cid)
+      assert(cg.summary.nHoldings >= 1, cid)
+      assert(cg.summary.nOutcomes == 1, cid)
+    }
+  }
+
+  test("golden triple set for the fixture conversation") {
+    val triples = g.edges.map(e => (e.source, e.relation, e.target)).toSet
+    val h = g.nodes.find(_.nodeType == "holding").get.id
+    val i = g.nodes.find(_.nodeType == "issue").get.id
+    val p = g.nodes.find(_.nodeType == "precedent").get.id
+    // structural spine that must always be present
+    assert(triples.contains((h, "resolves", i)))
+    assert(triples.contains((h, "follows", p)))
+    assert(triples.exists { case (s, r, o) => s == h && o == "outcome" })
+    // support edges into the holding from the natural-justice cluster
+    assert(triples.exists { case (s, r, o) => s.startsWith("c") && r == "grounds" && o == h })
+  }
+}
