@@ -1,13 +1,271 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.kg.gen.TranscriptGen
+import graft.kg.pipeline.KgPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB oracle for every SQL-expressible one.
+  *
+  * Conventions keeping the driver's sorted-column value-hash compare stable
+  * across Spark and DuckDB: lowercase snake_case aliases in BOTH engines,
+  * doubles rounded (4-6 dp) after aggregation, no raw timestamps in output
+  * (formatted strings instead), and deterministic tie-breaks everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def pq(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** Deterministic transcripts table derived only from the sf dir's document
+    * count (scale-proportional, no external data). */
+  private def transcripts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nDocs = pq(s, dir, "documents").count()
+    val nConvs = math.max(20, (nDocs / 5).toInt)
+    TranscriptGen.turns(nConvs, 14).toDF()
+  }
+
+  private def kgGraphs(s: SparkSession, dir: String) =
+    KgPipeline.graphs(s, transcripts(s, dir))
+
+  /** Flagship query on sf=0.001: full extract → triples. */
+  def entry(spark: SparkSession): DataFrame = {
+    val g = kgGraphs(spark, "/root/testdata/sf0.001")
+    KgPipeline.triples(KgPipeline.edges(g))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- C8 stats aggregation (checkpoint stats analog) ---
+    "q01_pricing_summary" -> ((s, dir) => {
+      pq(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- P1/P2 filters + projection pushdown ---
+    "q02_filter_project" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .filter(col("n_chars") >= 300)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- C1/C10 exact dedup by content hash (canonical winner = min id) ---
+    "q03_exact_dedup" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("dup_count"))
+        .orderBy(col("text_hash"))
+    }),
+
+    // --- W2 argmax (dedupe-winner pattern: best anchor/confidence) ---
+    "q04_dedup_argmax" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      pq(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- C6 orphan detection (left-anti join) ---
+    "q05_orphan_antijoin" -> ((s, dir) => {
+      val c = pq(s, dir, "customer")
+      val o = pq(s, dir, "orders").filter(col("o_orderdate") >= lit("1998-06-01"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- W3 top-k per group ---
+    "q06_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      pq(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk"))
+    }),
+
+    // --- J broadcast dimension join + aggregation ---
+    "q07_join_agg" -> ((s, dir) => {
+      val n = pq(s, dir, "nation")
+      val c = pq(s, dir, "customer")
+      val o = pq(s, dir, "orders")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 4).as("total_price"))
+        .orderBy(col("n_name"))
+    }),
+
+    // --- T6/T7 tokenization + token stats (text-analysis op) ---
+    "q08_token_stats" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_tokens"),
+          size(array_distinct(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))).as("n_distinct_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- language profile (language-ID support stats) ---
+    "q09_lang_profile" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0)))), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- T13 content fingerprinting (sha256 prefix, doc_id scheme) ---
+    "q10_fingerprint" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"), substring(sha2(col("text"), 256), 1, 16).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- 2.10 time-bucketed event aggregation (batch windowing) ---
+    "q11_event_hourly" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // --- per-entity rollup (stats reconstruction S8) ---
+    "q12_user_rollup" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("value")), 4).as("max_value"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy(col("user_id"))
+    }),
+
+    // --- T11 year extraction + histogram ---
+    "q13_order_years" -> ((s, dir) => {
+      pq(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("yr"))
+    }),
+
+    // --- embeddings: per-label stats (array access; ANN base table) ---
+    "q14_embed_stats" -> ((s, dir) => {
+      pq(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(element_at(col("embedding"), 1)), 6).as("avg_dim0"))
+        .orderBy(col("label"))
+    }),
+
+    // --- KG pipeline (no SQL oracle — rule-based extraction) ---
+    "kg_triples" -> ((s, dir) => {
+      KgPipeline.triples(KgPipeline.edges(kgGraphs(s, dir)))
+        .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
+    }),
+    "kg_relation_histogram" -> ((s, dir) => {
+      KgPipeline.edges(kgGraphs(s, dir)).toDF()
+        .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+        .orderBy(col("relation"))
+    }),
+    "kg_node_histogram" -> ((s, dir) => {
+      KgPipeline.nodes(kgGraphs(s, dir)).toDF()
+        .groupBy(col("nodeType")).agg(count(lit(1)).as("n"))
+        .orderBy(col("nodeType"))
+    }),
+    "kg_tier_histogram" -> ((s, dir) => {
+      val g = kgGraphs(s, dir)
+      KgPipeline.tierHistogram(KgPipeline.summaries(g))
+    }),
+    "kg_orphans" -> ((s, dir) => {
+      val g = kgGraphs(s, dir)
+      KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))
+        .groupBy(col("nodeType")).count().orderBy(col("nodeType"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+         FROM lineitem WHERE l_shipdate <= '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE n_chars >= 300 ORDER BY doc_id""",
+    "q03_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+         count(*) AS dup_count
+         FROM documents GROUP BY md5(text) ORDER BY text_hash""",
+    "q04_dedup_argmax" ->
+      """SELECT lang, doc_id, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM documents) t
+         WHERE rn = 1 ORDER BY lang""",
+    "q05_orphan_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= '1998-06-01')
+         ORDER BY c_custkey""",
+    "q06_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) t
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q07_join_agg" ->
+      """SELECT n_name, count(*) AS n_orders,
+         round(sum(o_totalprice), 4) AS total_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q08_token_stats" ->
+      """SELECT doc_id,
+         length(regexp_extract_all(text, '[a-z0-9]+')) AS n_tokens,
+         length(list_distinct(regexp_extract_all(text, '[a-z0-9]+'))) AS n_distinct_tokens
+         FROM documents ORDER BY doc_id""",
+    "q09_lang_profile" ->
+      """SELECT lang, count(*) AS n_docs,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(avg(length(regexp_extract_all(text, '[a-z0-9]+'))), 4) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q10_fingerprint" ->
+      """SELECT doc_id, substr(sha256(text), 1, 16) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q11_event_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type,
+         count(*) AS n, round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q12_user_rollup" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(max(value), 4) AS max_value,
+         count(DISTINCT event_type) AS n_types
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q13_order_years" ->
+      """SELECT year(o_orderdate) AS yr, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY yr""",
+    "q14_embed_stats" ->
+      """SELECT label, count(*) AS n,
+         round(avg(embedding[1]), 6) AS avg_dim0
+         FROM embeddings GROUP BY label ORDER BY label"""
+  )
 }
