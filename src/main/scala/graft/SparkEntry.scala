@@ -191,6 +191,20 @@ object SparkEntry {
       val g = kgGraphs(s, dir)
       KgPipeline.tierHistogram(KgPipeline.summaries(g))
     }),
+    // --- cross-conversation canonicalization (union-find over candidate
+    //     name↔citation match edges; C1 lifted to corpus scale) ---
+    "kg_canonical_triples" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      val nodes = KgPipeline.nodesDirect(s, t).toDF()
+      val edges = KgPipeline.edgesDirect(s, t).toDF()
+      graft.kg.canonical.Canonicalizer.canonicalTriples(s, nodes, edges)
+        .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
+    }),
+    "kg_entity_stats" -> ((s, dir) => {
+      val nodes = KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF()
+      graft.kg.canonical.Canonicalizer.entityStats(s, nodes)
+        .orderBy(col("canonical_id"))
+    }),
     "kg_orphans" -> ((s, dir) => {
       val g = kgGraphs(s, dir)
       KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))

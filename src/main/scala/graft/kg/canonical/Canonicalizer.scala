@@ -1,0 +1,103 @@
+package graft.kg.canonical
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-conversation entity canonicalization.
+  *
+  * The reference deduplicates concepts only WITHIN one document
+  * (extractor.py:4052-4104, group by concept_id + keep best anchor). At
+  * corpus scale the same entities recur across conversations; this module
+  * assigns every concept/precedent mention a global `canonical_id`:
+  *
+  *  - concepts: the ontology concept_id IS the canonical key (the broadcast
+  *    alias dictionary already linked mentions to it).
+  *  - precedents: each mention carries up to two keys — a name key
+  *    ("case:" + normalized case name) and a citation key ("cit:" + type +
+  *    normalized citation string). Mentions observed with BOTH keys create
+  *    candidate-match edges; connected components over the name↔citation
+  *    bipartite graph (union-find) merge e.g. "Maneka Gandhi v. Union of
+  *    India" with "AIR 1978 SC 597" wherever either appears alone. The
+  *    canonical id is the lexicographically smallest key in the component
+  *    (deterministic under any partitioning).
+  *
+  * Hot entities (famous precedents appearing in most conversations) make the
+  * component label and the final groupBy skewed — mitigated by AQE skew-join
+  * handling plus the two-phase (salted) aggregation in `entityStats`.
+  */
+object Canonicalizer {
+
+  private def normName(c: org.apache.spark.sql.Column) =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Per-mention keys for precedent nodes: (convId, id, nameKey?, citKey). */
+  def precedentKeys(nodes: DataFrame): DataFrame =
+    nodes.filter(col("nodeType") === "precedent")
+      .select(
+        col("convId"), col("id"),
+        when(col("caseName").isNotNull,
+          concat(lit("case:"), normName(col("caseName")))).as("name_key"),
+        concat(lit("cit:"), col("citationType"), lit(":"),
+          normName(col("citation"))).as("cit_key"))
+
+  /** Mention → canonical_id for every precedent node. */
+  def canonicalPrecedents(spark: SparkSession, nodes: DataFrame): DataFrame = {
+    val keys = precedentKeys(nodes).localCheckpoint()
+    val pairEdges = keys.filter(col("name_key").isNotNull)
+      .select(col("name_key").as("src"), col("cit_key").as("dst")).distinct()
+    // self-edges keep citation-only keys present in the component table
+    val selfEdges = keys.select(col("cit_key").as("src"), col("cit_key").as("dst")).distinct()
+    val comps = ConnectedComponents.run(spark, pairEdges.union(selfEdges))
+    keys
+      .join(comps.withColumnRenamed("id", "cit_key"), Seq("cit_key"), "left")
+      .select(col("convId"), col("id"),
+        coalesce(col("component"), col("cit_key")).as("canonical_id"))
+  }
+
+  /** Mention → canonical_id for every concept node (broadcast-dictionary key). */
+  def canonicalConcepts(nodes: DataFrame): DataFrame =
+    nodes.filter(col("nodeType") === "concept")
+      .select(col("convId"), col("id"),
+        concat(lit("concept:"), col("conceptId")).as("canonical_id"))
+
+  /** Full mention→canonical mapping (precedents ∪ concepts; other node kinds
+    * are conversation-local by nature and keep conv-scoped ids). */
+  def mentionMap(spark: SparkSession, nodes: DataFrame): DataFrame =
+    canonicalPrecedents(spark, nodes).union(canonicalConcepts(nodes))
+
+  /** Rewrite the triple table onto canonical entity ids (the cross-document
+    * analog of rewire_edges_after_dedup, extractor.py:4107-4116). */
+  def canonicalTriples(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val mapping = mentionMap(spark, nodes).localCheckpoint()
+    val subjMap = mapping.withColumnRenamed("id", "source")
+      .withColumnRenamed("canonical_id", "subj_canonical")
+    val objMap = mapping.withColumnRenamed("id", "target")
+      .withColumnRenamed("canonical_id", "obj_canonical")
+    edges
+      .join(subjMap, Seq("convId", "source"), "left")
+      .join(objMap, Seq("convId", "target"), "left")
+      .select(
+        col("convId").as("conv_id"),
+        coalesce(col("subj_canonical"),
+          concat(col("convId"), lit("/"), col("source"))).as("subj"),
+        col("relation").as("pred"),
+        coalesce(col("obj_canonical"),
+          concat(col("convId"), lit("/"), col("target"))).as("obj"))
+  }
+
+  /** Per-canonical-entity mention counts via two-phase SALTED aggregation:
+    * hot entities (a doctrine cited in most conversations) would skew a
+    * single groupBy at 10^12-turn scale, so phase 1 pre-aggregates on
+    * (entity, salt) and phase 2 combines the S partial rows per entity. */
+  def entityStats(spark: SparkSession, nodes: DataFrame, salts: Int = 16): DataFrame = {
+    val mapping = mentionMap(spark, nodes)
+    mapping
+      .withColumn("salt", pmod(hash(col("convId")), lit(salts)))
+      .groupBy(col("canonical_id"), col("salt"))
+      .agg(count(lit(1)).as("partial_mentions"),
+        approx_count_distinct(col("convId")).as("partial_convs"))
+      .groupBy(col("canonical_id"))
+      .agg(sum(col("partial_mentions")).as("n_mentions"),
+        sum(col("partial_convs")).as("n_convs_approx"))
+  }
+}

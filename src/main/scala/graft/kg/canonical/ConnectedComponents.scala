@@ -1,0 +1,51 @@
+package graft.kg.canonical
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a string-keyed edge list via
+  * iterative min-label propagation — the union-find of the north rule's
+  * salt-keyed canonicalization, expressed as DataFrame joins so Catalyst/AQE
+  * (incl. skew-join splitting for hot entities) plan the physical execution.
+  *
+  * Converges in O(component diameter) rounds; canonicalization graphs are
+  * near-bipartite (mention-key ↔ mention-key through shared entities), so
+  * diameters are small. `localCheckpoint` every round truncates lineage, the
+  * standard guard for iterative DataFrame jobs. No GraphFrames dependency.
+  */
+object ConnectedComponents {
+
+  /** edges(src, dst) → components(id, component) where component is the
+    * lexicographically smallest reachable id (deterministic label). Isolated
+    * ids appear iff present as a self-edge or endpoint. */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+
+    var comps = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // candidate label for each dst: the component of each neighbor src
+      val candidates = sym
+        .join(comps.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nbr"))
+      val next = comps.join(candidates, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.alias("n").join(comps.alias("c"), "id")
+        .filter(col("n.component") =!= col("c.component")).count()
+      comps = next
+      iter += 1
+    }
+    comps
+  }
+}

@@ -153,21 +153,26 @@ object DocExtractor {
     }
 
     val conceptHits = ArrayBuffer.empty[ConceptHit]
+    // phrase lists pre-lowered once per broadcast ontology (not per sentence)
+    val conceptScanList: List[(String, List[String], List[String])] =
+      ontology.concepts.toList.sortBy(_._1).map { case (cid, cdef) =>
+        (cid,
+          (if (turkish) cdef.keyPhrasesTurkish else cdef.keyPhrasesLower).filter(_.length >= 4),
+          if (turkish) cdef.establishingCasesTurkish else cdef.establishingCasesNorm)
+      }
     val concepts = ontology.concepts.toList.sortBy(_._1)
     si = 0
     while (si < doc.sentences.length) {
       val low = sentLower(si)
-      for ((cid, cdef) <- concepts) {
+      for ((cid, phrases, cases) <- conceptScanList) {
         var matched = false
         var bestOff = Int.MaxValue
-        for (ph <- cdef.keyPhrases if ph.length >= 4) {
-          val phl = if (turkish) Normalize.turkishLower(ph) else ph.toLowerCase(Locale.ROOT)
+        for (phl <- phrases) {
           val off = low.indexOf(phl)
           if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
         }
         if (!matched) {
-          for (cn <- cdef.establishingCases if cn.length >= 8) {
-            val cnl = if (turkish) Normalize.turkishLower(cn) else cn.toLowerCase(Locale.ROOT)
+          for (cnl <- cases) {
             val off = low.indexOf(cnl)
             if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
           }
@@ -335,19 +340,27 @@ object DocExtractor {
       addMember(best, c)
     }
 
-    def scoreAgainst(text: String, cid: String): Int =
+    // Pre-process each node's text ONCE; scoring against all 54 clusters is
+    // then O(phrases) substring checks per cluster (the naive per-pair
+    // re-normalization was the extraction hot spot).
+    val matchTextCache = mutable.Map.empty[String, graft.kg.ontology.MatchText]
+    def mtOf(text: String): graft.kg.ontology.MatchText =
+      matchTextCache.getOrElseUpdate(text, graft.kg.ontology.MatchText.of(text, turkish))
+
+    def scoreAgainst(mt: graft.kg.ontology.MatchText, cid: String): Int =
       ontology.concepts.get(cid) match {
-        case Some(cdef) => Ontology.conceptMatchScore(text, cdef, turkish = turkish)
+        case Some(cdef) => Ontology.conceptMatchScoreFast(mt, cdef, turkish = turkish)
         case None =>
           val pseudoKw = Normalize.keywordSet(cid + " " + clusters(cid).label)
-          Normalize.keywordSet(text).intersect(pseudoKw).size
+          mt.keywords.intersect(pseudoKw).size
       }
 
     def argmaxCluster(text: String, candidates: Iterable[String], minScore: Int): Option[String] = {
+      val mt = mtOf(text)
       var best: Option[String] = None
       var bestScore = 0
       for (cid <- candidates) {
-        val s = scoreAgainst(text, cid)
+        val s = scoreAgainst(mt, cid)
         if (s > bestScore) { bestScore = s; best = Some(cid) }
       }
       best.filter(_ => bestScore >= minScore)
@@ -388,13 +401,15 @@ object DocExtractor {
     val requirementRows = ArrayBuffer.empty[RequirementRow]
     val factById = facts.map(f => f.id -> f).toMap
     for ((cid, cl) <- clusters if cl.requires.nonEmpty && cl.members("fact").nonEmpty) {
+      val reqKwSets = ontology.concepts.get(cid).map(_.requiresKeywordSets.toMap)
+        .getOrElse(Map.empty)
       for (req <- cl.requires) {
-        val reqKw = Normalize.keywordSet(req)
+        val reqKw = reqKwSets.getOrElse(req, Normalize.keywordSet(req))
         var bestFact: String = null
         var bestScore = 0
         for (fid <- cl.members("fact")) {
           val f = factById(fid)
-          var s = reqKw.intersect(Normalize.keywordSet(f.text)).size
+          var s = reqKw.intersect(mtOf(f.text).keywords).size
           if (Normalize.looksNegative(f.text)) s = math.max(0, s - 2)
           if (s > bestScore) { bestScore = s; bestFact = fid }
         }

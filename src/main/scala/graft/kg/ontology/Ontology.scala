@@ -17,12 +17,43 @@ final case class ConceptDef(
     establishingCases: List[String],
     typicalFactPatterns: List[String]
 ) {
-  /** Pre-computed keyword sets for scoring. */
+  /** Pre-computed keyword sets + lowered phrase forms for scoring (computed
+    * once per broadcast ontology, not per node). */
   lazy val conceptKeywords: Set[String] =
     Normalize.keywordSet((label :: requires ::: defeaters ::: keyPhrases).mkString(" "))
   lazy val requiresKeywords: Set[String] = Normalize.keywordSet(requires.mkString(" "))
   lazy val idAndTextKeywords: Set[String] =
     Normalize.keywordSet((id :: label :: requires ::: keyPhrases).mkString(" "))
+  lazy val keyPhrasesLower: List[String] =
+    keyPhrases.filter(_.nonEmpty).map(_.toLowerCase(java.util.Locale.ROOT))
+  lazy val keyPhrasesTurkish: List[String] =
+    keyPhrases.filter(_.nonEmpty).map(Normalize.turkishLower)
+  /** establishing case names, whitespace-normalized + lowered, len >= 8 */
+  lazy val establishingCasesNorm: List[String] = establishingCases
+    .map(cn => Normalize.normalizeWithMapping(cn)._1.trim)
+    .filter(_.length >= 8).map(_.toLowerCase(java.util.Locale.ROOT))
+  lazy val establishingCasesTurkish: List[String] = establishingCases
+    .map(cn => Normalize.normalizeWithMapping(cn)._1.trim)
+    .filter(_.length >= 8).map(Normalize.turkishLower)
+  lazy val typicalFactPatternsLower: List[String] =
+    typicalFactPatterns.filter(_.nonEmpty).map(_.toLowerCase(java.util.Locale.ROOT))
+  lazy val typicalFactPatternsTurkish: List[String] =
+    typicalFactPatterns.filter(_.nonEmpty).map(Normalize.turkishLower)
+  lazy val requiresKeywordSets: List[(String, Set[String])] =
+    requires.map(r => r -> Normalize.keywordSet(r))
+}
+
+/** A node text pre-processed once for repeated concept scoring: the
+  * whitespace-normalized lowered form + keyword set. */
+final case class MatchText(raw: String, normLower: String, keywords: Set[String])
+
+object MatchText {
+  def of(text: String, turkish: Boolean): MatchText = {
+    val t = if (text == null) "" else text
+    val (norm, _) = Normalize.normalizeWithMapping(t)
+    val low = if (turkish) Normalize.turkishLower(norm) else norm.toLowerCase(java.util.Locale.ROOT)
+    MatchText(t, low, Normalize.keywordSet(t))
+  }
 }
 
 /** One signal-phrase pattern: curated phrases that mark an edge-creating
@@ -204,29 +235,30 @@ object Ontology {
       phraseWeight: Int = 5,
       turkish: Boolean = false): Int = {
     if (nodeText == null || nodeText.isEmpty) return 0
-    val (txtNorm, _) = Normalize.normalizeWithMapping(nodeText)
-    val txtNormL =
-      if (turkish) Normalize.turkishLower(txtNorm) else txtNorm.toLowerCase(java.util.Locale.ROOT)
+    conceptMatchScoreFast(MatchText.of(nodeText, turkish), c, phraseWeight, turkish)
+  }
 
+  /** Same scoring over a pre-processed MatchText — O(phrases) substring
+    * checks on the already-lowered text, no per-call normalization. */
+  def conceptMatchScoreFast(
+      mt: MatchText,
+      c: ConceptDef,
+      phraseWeight: Int = 5,
+      turkish: Boolean = false): Int = {
+    if (mt.raw.isEmpty) return 0
+    val low = mt.normLower
     var score = 0
-    for (ph <- c.keyPhrases if ph.nonEmpty && Normalize.containsPhrase(nodeText, ph, turkish))
-      score += phraseWeight
+    val phrases = if (turkish) c.keyPhrasesTurkish else c.keyPhrasesLower
+    for (ph <- phrases if low.contains(ph)) score += phraseWeight
 
-    val caseHit = c.establishingCases.exists { cn0 =>
-      val (cn, _) = Normalize.normalizeWithMapping(cn0)
-      val cnt = cn.trim
-      val cnl = if (turkish) Normalize.turkishLower(cnt) else cnt.toLowerCase(java.util.Locale.ROOT)
-      cnt.length >= 8 && txtNormL.contains(cnl)
-    }
-    if (caseHit) score += 8
+    val cases = if (turkish) c.establishingCasesTurkish else c.establishingCasesNorm
+    if (cases.exists(low.contains)) score += 8
 
-    val patHit = c.typicalFactPatterns.exists(p =>
-      p.nonEmpty && Normalize.containsPhrase(nodeText, p, turkish))
-    if (patHit) score += 3
+    val pats = if (turkish) c.typicalFactPatternsTurkish else c.typicalFactPatternsLower
+    if (pats.exists(low.contains)) score += 3
 
-    val nodeKw = Normalize.keywordSet(nodeText)
-    score += math.min(4, nodeKw.intersect(c.conceptKeywords).size)
-    score += math.min(4, nodeKw.intersect(c.requiresKeywords).size)
+    score += math.min(4, mt.keywords.intersect(c.conceptKeywords).size)
+    score += math.min(4, mt.keywords.intersect(c.requiresKeywords).size)
     score
   }
 

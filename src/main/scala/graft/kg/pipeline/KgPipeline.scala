@@ -29,6 +29,52 @@ final case class SlimTurn(conv_id: String, turn_idx: Int, text: String)
 
 object KgPipeline {
 
+  /** Partition count for the conv_id exchange: cores × 4. The extraction
+    * stage is CPU-bound with tiny shuffle bytes, so AQE's size-based
+    * coalescing would shrink it to a handful of tasks and idle most cores
+    * (measured 15 tasks on 32 cores → 0.37 scaling efficiency). An explicit
+    * numPartitions repartition is exempt from AQE coalescing and satisfies
+    * groupByKey's clustered distribution, so no second exchange is added. */
+  private def extractionPartitions(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.extract.partitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism * 4)
+
+  /** One exchange total: explicit hash repartition on conv_id (AQE-exempt)
+    * + sortWithinPartitions, then consecutive-run grouping in mapPartitions.
+    * Dataset.groupByKey is NOT used: its lambda key forces a second
+    * exchange that AQE size-coalesces to ~10 tasks (shuffle bytes are tiny
+    * while the downstream extraction is CPU-bound), idling most cores. */
+  private def slimTurns(spark: SparkSession, transcripts: DataFrame): Dataset[SlimTurn] = {
+    import spark.implicits._
+    transcripts
+      .select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
+      .repartition(extractionPartitions(spark), col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .as[SlimTurn]
+  }
+
+  /** Iterate consecutive same-conv_id runs (rows are co-partitioned and
+    * sorted), invoking the extractor once per conversation. */
+  private def perConversation[T](
+      it: Iterator[SlimTurn],
+      ontology: OntologyData,
+      jurisdiction: String)(f: ConvGraph => IterableOnce[T]): Iterator[T] = {
+    val rows = it.buffered
+    new Iterator[Iterator[T]] {
+      def hasNext: Boolean = rows.hasNext
+      def next(): Iterator[T] = {
+        val convId = rows.head.conv_id
+        val turns = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+        while (rows.hasNext && rows.head.conv_id == convId) {
+          val t = rows.next()
+          turns += ((t.turn_idx, t.text))
+        }
+        // already sorted by turn_idx via sortWithinPartitions
+        f(DocExtractor.extract(convId, turns.toSeq, ontology, jurisdiction)).iterator
+      }
+    }.flatten
+  }
+
   /** Run extraction: transcripts (conv_id, turn_idx, ..., text) → ConvGraph. */
   def graphs(
       spark: SparkSession,
@@ -36,15 +82,61 @@ object KgPipeline {
       jurisdiction: String = "in",
       ontology: OntologyData = Ontology.default): Dataset[ConvGraph] = {
     import spark.implicits._
-    transcripts
-      .select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
-      .as[SlimTurn]
-      .groupByKey(_.conv_id)
-      .mapGroups { (convId, it) =>
-        // turns per conversation are bounded; sort in-memory for stable order
-        val turns = it.map(t => (t.turn_idx, t.text)).toArray.sortBy(_._1).toSeq
-        DocExtractor.extract(convId, turns, ontology, jurisdiction)
-      }
+    slimTurns(spark, transcripts)
+      .mapPartitions(it => perConversation(it, ontology, jurisdiction)(Iterator.single(_)))
+  }
+
+  /** Fast path: run extraction and emit projected rows DIRECTLY from
+    * `flatMapGroups`, skipping the heavyweight ConvGraph encoder round-trip
+    * (serialize deep nested graph → deserialize → re-serialize projection).
+    * This is the production shape for single-table outputs: one shuffle, one
+    * small-row encoder. */
+  def flatExtract[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in",
+      ontology: OntologyData = Ontology.default)(
+      f: ConvGraph => IterableOnce[T]): Dataset[T] = {
+    slimTurns(spark, transcripts)
+      .mapPartitions(it => perConversation(it, ontology, jurisdiction)(f))
+  }
+
+  /** Extraction → (subj, pred, obj) triples in one pass (the bench metric). */
+  def triplesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in"): Dataset[Triple] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Triple]
+    flatExtract(spark, transcripts, jurisdiction) { g =>
+      g.edges.map(e => Triple(g.summary.convId, e.source, e.relation, e.target))
+    }
+  }
+
+  /** Extraction → edges in one pass. */
+  def edgesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in"): Dataset[EdgeRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[EdgeRow]
+    flatExtract(spark, transcripts, jurisdiction)(_.edges)
+  }
+
+  /** Extraction → nodes in one pass. */
+  def nodesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in"): Dataset[Node] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[Node]
+    flatExtract(spark, transcripts, jurisdiction)(_.nodes)
+  }
+
+  /** Extraction → per-conversation summaries in one pass. */
+  def summariesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in"): Dataset[ConvSummary] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[ConvSummary]
+    flatExtract(spark, transcripts, jurisdiction)(g => Iterator.single(g.summary))
   }
 
   def nodes(g: Dataset[ConvGraph]): Dataset[Node] = {

@@ -83,6 +83,13 @@ object Citations {
     if (m.find()) Some(m.group(1).toInt) else None
   }
 
+  /** "Name v. Name" immediately preceding a reporter citation (", AIR 1978
+    * SC 597") — used to attach a case name to Indian/Turkish citations whose
+    * patterns carry none, enabling cross-conversation canonicalization by
+    * name↔citation co-occurrence. */
+  private val PrecedingNameRe = Pattern.compile(
+    s"""($EchrNameFrag(?:\\s+$EchrNameFrag)*)\\s+v(?:s?)\\.?\\s+((?:the\\s+)?$EchrNameFrag(?:\\s+(?:of\\s+)?$EchrNameFrag)*)[,\\s]*$$""")
+
   /** Scan text for citation hits with offsets, then dedupe overlapping spans
     * keeping the longest (sort by (start, -len), greedy sweep). */
   def extract(text: String, jurisdiction: String): List[CitationHit] = {
@@ -96,7 +103,13 @@ object Citations {
         val caseName =
           if (ctype == "echr_case_v" && m.groupCount() >= 2)
             Option(m.group(1)).zip(Option(m.group(2))).map { case (a, b) => s"$a v. $b" }
-          else None
+          else {
+            // look back ≤80 chars for an adjacent "Name v. Name,"
+            val from = math.max(0, m.start() - 80)
+            val back = text.substring(from, m.start())
+            val nm = PrecedingNameRe.matcher(back)
+            if (nm.find()) Some(s"${nm.group(1)} v. ${nm.group(2)}") else None
+          }
         raw += CitationHit(citationText, m.start(), m.end(), ctype, caseName,
           extractYear(citationText))
       }

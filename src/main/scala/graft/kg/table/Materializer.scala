@@ -1,0 +1,134 @@
+package graft.kg.table
+
+import graft.kg.model.ConvGraph
+import graft.kg.ontology.{Ontology, OntologyData}
+import graft.kg.pipeline.KgPipeline
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize the full KG table set (nodes, edges, triples, justification
+  * sets, chains, cluster members, requirements, summaries) partitioned by
+  * `bucket = pmod(hash(conv_id), B)`, with one snapshot commit covering the
+  * buckets produced in this run and per-bucket lineage rows.
+  *
+  * Resume: buckets already covered by committed snapshots are filtered out
+  * BEFORE the extraction shuffle (the reference's completed-cases skip,
+  * run_iltur.py:581-623, lifted from case granularity to bucket granularity).
+  * Because the bucket is a deterministic function of conv_id, re-running after
+  * a partial failure recomputes only missing buckets and is idempotent.
+  */
+object Materializer {
+
+  val Tables: Seq[String] = Seq(
+    "nodes", "edges", "triples", "justification_sets", "chains",
+    "cluster_members", "requirements", "summaries")
+
+  final case class Report(
+      snapshotId: Long,
+      bucketsCommitted: Seq[Int],
+      bucketsSkipped: Seq[Int],
+      rows: Map[String, Long])
+
+  def bucketOf(convIdCol: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(hash(convIdCol), lit(nBuckets))
+
+  def run(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      root: String,
+      nBuckets: Int = 32,
+      jurisdiction: String = "in",
+      ontology: OntologyData = Ontology.default): Report = {
+
+    val store = new SnapshotStore(root)
+    val done = store.completedBuckets
+    val withBucket = transcripts.withColumn("bucket", bucketOf(col("conv_id"), nBuckets))
+    val pending =
+      if (done.isEmpty) withBucket
+      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+
+    val allBuckets = (0 until nBuckets).toSet
+    val pendingBuckets = (allBuckets -- done).toList.sorted
+    if (pendingBuckets.isEmpty)
+      return Report(store.snapshots.last.id, Nil, done.toList.sorted, Map.empty)
+
+    // one extraction pass, persisted, fanned out to the 8 output tables
+    val graphs: org.apache.spark.sql.Dataset[ConvGraph] =
+      KgPipeline.graphs(spark, pending.drop("bucket"), jurisdiction, ontology)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def addBucket(df: DataFrame, convCol: String): DataFrame =
+      df.withColumn("bucket", bucketOf(col(convCol), nBuckets))
+
+    val outputs: Seq[(String, DataFrame)] = Seq(
+      "nodes" -> KgPipeline.nodes(graphs).toDF(),
+      "edges" -> KgPipeline.edges(graphs).toDF(),
+      "triples" -> KgPipeline.triples(KgPipeline.edges(graphs)).withColumnRenamed("conv_id", "convId"),
+      "justification_sets" -> KgPipeline.justificationSets(graphs).toDF(),
+      "chains" -> KgPipeline.chains(graphs).toDF(),
+      "cluster_members" -> KgPipeline.clusterMembers(graphs).toDF(),
+      "requirements" -> KgPipeline.requirements(graphs).toDF(),
+      "summaries" -> KgPipeline.summaries(graphs).toDF())
+
+    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
+    for ((name, df) <- outputs) {
+      val b = addBucket(df, "convId")
+      // dynamic partition overwrite: re-running an uncommitted bucket after a
+      // mid-write failure replaces (not duplicates) its partition dirs
+      b.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(s"$root/$name")
+      rowCounts(name) = b.count()
+    }
+
+    // per-bucket lineage: extraction counts from summaries + an
+    // order-independent content hash over the triple set
+    val summariesB = addBucket(KgPipeline.summaries(graphs).toDF(), "convId")
+    val lineageAgg = summariesB.groupBy(col("bucket")).agg(
+      count(lit(1)).as("convs"),
+      sum(col("nTurns")).as("input_rows"),
+      sum(col("nFacts")).as("facts"), sum(col("nConcepts")).as("concepts"),
+      sum(col("nIssues")).as("issues"), sum(col("nArguments")).as("arguments"),
+      sum(col("nHoldings")).as("holdings"), sum(col("nPrecedents")).as("precedents"),
+      sum(col("nEdges")).as("edges"), sum(col("nChains")).as("chains"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+
+    val triplesB = addBucket(
+      KgPipeline.triples(KgPipeline.edges(graphs)).withColumnRenamed("conv_id", "convId"), "convId")
+    val hashByBucket = triplesB
+      .withColumn("rh", xxhash64(concat_ws("|", col("convId"), col("subj"), col("pred"), col("obj"))))
+      .groupBy(col("bucket"))
+      // bit_xor: order-independent, overflow-free under ANSI mode
+      .agg(expr("bit_xor(rh)").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    graphs.unpersist()
+
+    val lineage = pendingBuckets.map { b =>
+      lineageAgg.get(b) match {
+        case Some(r) =>
+          BucketLineage(
+            bucket = b, stage = "extract",
+            inputRows = r.getAs[Long]("input_rows"),
+            outputRows = Map(
+              "convs" -> r.getAs[Long]("convs"),
+              "edges" -> r.getAs[Long]("edges")),
+            extractionCounts = Map(
+              "facts" -> r.getAs[Long]("facts"), "concepts" -> r.getAs[Long]("concepts"),
+              "issues" -> r.getAs[Long]("issues"), "arguments" -> r.getAs[Long]("arguments"),
+              "holdings" -> r.getAs[Long]("holdings"), "precedents" -> r.getAs[Long]("precedents"),
+              "chains" -> r.getAs[Long]("chains")),
+            contentHash = java.lang.Long.toHexString(hashByBucket.getOrElse(b, 0L)))
+        case None => // bucket had no conversations — still committed as done
+          BucketLineage(b, "extract", 0L, Map.empty, Map.empty, "0")
+      }
+    }
+
+    val snap = store.commit(lineage)
+    Report(snap.id, pendingBuckets, done.toList.sorted, rowCounts.toMap)
+  }
+
+  /** Read a materialized table (bucket-partitioned parquet). */
+  def read(spark: SparkSession, root: String, table: String): DataFrame =
+    spark.read.parquet(s"$root/$table")
+}

@@ -1,0 +1,148 @@
+package graft
+
+import graft.kg.gen.TranscriptGen
+import graft.kg.pipeline.KgPipeline
+import graft.kg.table.{BucketLineage, Materializer, SnapshotStore}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def transcriptsDF(n: Int) = {
+    import spark.implicits._
+    TranscriptGen.turns(n, 12).toDF()
+  }
+
+  test("triplesDirect is invariant to input partitioning") {
+    val df = transcriptsDF(40)
+    val a = KgPipeline.triplesDirect(spark, df.repartition(1))
+      .collect().map(_.toString).sorted
+    val b = KgPipeline.triplesDirect(spark, df.repartition(13))
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("materializer writes all tables, commits snapshot with lineage") {
+    val root = Files.createTempDirectory("graft_mat").toString
+    val report = Materializer.run(spark, transcriptsDF(60), root, nBuckets = 8)
+    assert(report.snapshotId == 0)
+    assert(report.bucketsCommitted.size == 8)
+    for (t <- Materializer.Tables) {
+      val df = Materializer.read(spark, root, t)
+      assert(df.count() > 0, s"table $t empty")
+      assert(df.columns.contains("bucket"))
+    }
+    val store = new SnapshotStore(root)
+    assert(store.completedBuckets == (0 until 8).toSet)
+    val lin = store.snapshots.head.lineage
+    assert(lin.map(_.extractionCounts.getOrElse("holdings", 0L)).sum >= 50)
+    assert(lin.forall(_.contentHash.nonEmpty))
+  }
+
+  test("resume skips committed buckets and is idempotent") {
+    val root = Files.createTempDirectory("graft_resume").toString
+    val df = transcriptsDF(60)
+    // pre-commit buckets 0..3 as if a prior run finished them
+    val store = new SnapshotStore(root)
+    store.commit((0 until 4).map(b => BucketLineage(b, "extract", 0, Map.empty, Map.empty, "x")))
+    val report = Materializer.run(spark, df, root, nBuckets = 8)
+    assert(report.bucketsSkipped == (0 until 4).toList)
+    assert(report.bucketsCommitted == (4 until 8).toList)
+    // only pending buckets materialized
+    val triples = Materializer.read(spark, root, "triples")
+    val buckets = triples.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets.subsetOf((4 until 8).toSet))
+    // second run: nothing to do
+    val again = Materializer.run(spark, df, root, nBuckets = 8)
+    assert(again.bucketsCommitted.isEmpty)
+    assert(new SnapshotStore(root).completedBuckets == (0 until 8).toSet)
+  }
+
+  test("corrupt snapshot manifests are skipped (self-healing recovery)") {
+    val root = Files.createTempDirectory("graft_corrupt").toString
+    val store = new SnapshotStore(root)
+    store.commit(Seq(BucketLineage(0, "extract", 1, Map("convs" -> 1L), Map.empty, "h")))
+    // corrupt manifest injected into the log
+    val bad = java.nio.file.Paths.get(root, "_graft_log", "snapshot-1.json")
+    Files.write(bad, "{not json".getBytes("UTF-8"))
+    val reread = new SnapshotStore(root)
+    assert(reread.snapshots.map(_.id) == Seq(0L))
+    assert(reread.completedBuckets == Set(0))
+    // next commit continues past the corrupt id
+    val snap = reread.commit(Seq(BucketLineage(1, "extract", 1, Map.empty, Map.empty, "h")))
+    assert(snap.id == 2)
+  }
+
+  test("connected components: min-label over a small graph") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"))
+      .toDF("src", "dst")
+    val comps = graft.kg.canonical.ConnectedComponents.run(spark, edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+    assert(comps("x") == "x" && comps("y") == "x")
+    assert(comps("z") == "z")
+  }
+
+  test("canonicalization merges name and citation keys across conversations") {
+    import spark.implicits._
+    // conv A cites with name+citation; conv B cites the bare citation;
+    // conv C cites the bare name (as an ECHR-style v. pattern is IN-invisible,
+    // use the same name+another reporter to bridge)
+    val turns = Seq(
+      graft.kg.model.Turn("cA", 0, "user",
+        "As held in Maneka Gandhi v. Union of India, AIR 1978 SC 597, the procedure must be fair. We hold that the order fails. The appeal is allowed.", null, null),
+      graft.kg.model.Turn("cB", 0, "user",
+        "Following the ratio in AIR 1978 SC 597, fairness governs. We hold that the order fails. The appeal is allowed.", null, null),
+      graft.kg.model.Turn("cC", 0, "user",
+        "As held in Maneka Gandhi v. Union of India, (1978) 1 SCC 248, fairness is required. We hold that the order fails. The appeal is allowed.", null, null)
+    ).toDF()
+    val nodes = KgPipeline.nodesDirect(spark, turns).toDF()
+    val canon = graft.kg.canonical.Canonicalizer
+      .canonicalPrecedents(spark, nodes).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // all three conversations' precedent mentions share one canonical id
+    assert(canon.size == 3, canon.toString)
+    assert(canon.values.toSet.size == 1, canon.toString)
+  }
+
+  test("canonical triples rewrite precedent/concept endpoints") {
+    import spark.implicits._
+    val df = transcriptsDF(20)
+    val nodes = KgPipeline.nodesDirect(spark, df).toDF()
+    val edges = KgPipeline.edgesDirect(spark, df).toDF()
+    val ct = graft.kg.canonical.Canonicalizer.canonicalTriples(spark, nodes, edges)
+    assert(ct.count() == edges.count())
+    val objs = ct.select("obj").collect().map(_.getString(0))
+    assert(objs.exists(_.startsWith("cit:")) || objs.exists(_.startsWith("case:")))
+    assert(objs.exists(_.startsWith("concept:")) ||
+      ct.select("subj").collect().map(_.getString(0)).exists(_.startsWith("concept:")))
+  }
+
+  test("materialized triples equal the direct-path triples") {
+    val root = Files.createTempDirectory("graft_eq").toString
+    val df = transcriptsDF(30)
+    Materializer.run(spark, df, root, nBuckets = 4)
+    val mat = Materializer.read(spark, root, "triples")
+      .select("convId", "subj", "pred", "obj")
+      .collect().map(_.toString).sorted
+    val direct = KgPipeline.triplesDirect(spark, df)
+      .collect().map(t => s"[${t.convId},${t.subj},${t.pred},${t.obj}]").sorted
+    assert(mat.toSeq == direct.toSeq)
+  }
+}
