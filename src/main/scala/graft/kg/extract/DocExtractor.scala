@@ -127,7 +127,8 @@ object DocExtractor {
       convId: String,
       turns: Seq[(Int, String)],
       ontology: OntologyData = Ontology.default,
-      jurisdiction: String = "in"): ConvGraph = {
+      jurisdiction: String = "in",
+      repairOrphans: Boolean = true): ConvGraph = {
 
     val turkish = jurisdiction == "tr" || jurisdiction == "turkey"
     val fullText = assemble(turns)
@@ -558,13 +559,25 @@ object DocExtractor {
     }
 
     // dedupe by (source, target, relation), keep best confidence, stable sort
-    val deduped: Vector[EdgeRow] = repairedEdges
+    val dedupedPreRepair: Vector[EdgeRow] = repairedEdges
       .groupBy(e => (e.source, e.target, e.relation))
       .map { case (_, group) =>
         group.maxBy(e => (Relations.ConfidenceRank.getOrElse(e.confidence, 0), e.id))
       }
       .toVector
       .sortBy(e => (e.source, e.target, e.relation, e.id))
+
+    // orphan repair runs BEFORE justification sets so repaired support edges
+    // feed JS/chain construction (the reference applies it post-hoc;
+    // repair_orphans.py:411-641 — same scoring, earlier placement)
+    val allNodesPreJs = (facts ++ conceptNodes ++ issues ++ args ++ holdings ++
+      precedents ++ outcome.toVector)
+    val deduped: Vector[EdgeRow] =
+      if (repairOrphans) {
+        val (rep, repWarnings) = OrphanRepair.repair(allNodesPreJs, dedupedPreRepair)
+        warnings ++= repWarnings
+        rep
+      } else dedupedPreRepair
 
     // ---- Stage 7: justification sets (extractor.py:4194-4276) ---------------
     val jsRows = ArrayBuffer.empty[JustificationSetRow]
@@ -678,7 +691,7 @@ object DocExtractor {
       else if (errorCount <= 5) "bronze"
       else "reject"
 
-    val allNodes = (facts ++ conceptNodes ++ issues ++ args ++ holdings ++ precedents ++ outcome.toVector)
+    val allNodes = allNodesPreJs
     val summary = ConvSummary(convId, docId, fullText.length, turns.size,
       doc.paragraphs.size, doc.sentences.size,
       facts.size, conceptNodes.size, issues.size, args.size, holdings.size,
