@@ -241,7 +241,51 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // --- BM25 retrieval over the documents table (term-stats joins) ---
+    "q24_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pq(s, dir, "documents")
+        .select(col("doc_id").as("conv_id"), col("text").as("doc_text"))
+      val queries = Seq(
+        (0, "spark join merge"), (1, "window filter scan"),
+        (2, "customer order line")).toDF("query_id", "query_text")
+      graft.kg.query.Retrieval.bm25Scores(s, docs, queries)
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+    // --- TF-IDF retrieval (rows-only: sklearn-style weighting) ---
+    "q25_tfidf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pq(s, dir, "documents")
+        .select(col("doc_id").as("conv_id"), col("text").as("doc_text"))
+      val queries = Seq(
+        (0, "spark join merge"), (1, "window filter scan")).toDF("query_id", "query_text")
+      graft.kg.query.Retrieval.topK(
+        graft.kg.query.Retrieval.tfidfScores(s, docs, queries), 10, docCol = "doc_id")
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- KG pipeline (no SQL oracle — rule-based extraction) ---
+    "kg_linearize" -> ((s, dir) => {
+      graft.kg.query.Retrieval.linearizeStable(
+        KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF())
+        .orderBy(col("conv_id"))
+    }),
+    "kg_conceptset_retrieval" -> ((s, dir) => {
+      graft.kg.query.Retrieval.conceptSetScores(s,
+        KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF(),
+        Seq("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM",
+          "DOCTRINE_PROPORTIONALITY_TEST", "MANIFEST_ARBITRARINESS"))
+        .orderBy(col("query_cid"), col("conv_id"))
+    }),
+    "kg_holding_support" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      implicit val e = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
+      graft.kg.query.GraphOps.holdingSupport(
+        KgPipeline.nodesDirect(s, t).toDF(),
+        KgPipeline.edgesDirect(s, t).toDF(),
+        KgPipeline.flatExtract(s, t)(_.justificationSets).toDF())
+        .orderBy(col("conv_id"), col("holding_id"))
+    }),
     "kg_triples" -> ((s, dir) => {
       KgPipeline.triples(KgPipeline.edges(kgGraphs(s, dir)))
         .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
@@ -375,6 +419,28 @@ object SparkEntry {
            FROM base b, q WHERE b.vec_id <> q.query_id)
          SELECT query_id, vec_id, round(c, 6) AS cosine,
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
-         FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank"""
+         FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q24_bm25" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+             FROM documents) GROUP BY doc_id, term),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+         stats AS (SELECT avg(dl) AS avgdl FROM dl),
+         n AS (SELECT count(*) AS n FROM documents),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         q AS (SELECT * FROM (VALUES (0, 'spark join merge'),
+                (1, 'window filter scan'), (2, 'customer order line'))
+                AS t(query_id, qtext)),
+         qt AS (SELECT query_id,
+                unnest(list_distinct(regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term
+                FROM q)
+         SELECT qt.query_id AS query_id, tf.doc_id AS doc_id,
+           round(sum(ln((n.n - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+             * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS score
+         FROM qt JOIN tf USING(term) JOIN dl USING(doc_id)
+              JOIN dfs USING(term), stats, n
+         GROUP BY qt.query_id, tf.doc_id
+         ORDER BY query_id, doc_id"""
   )
 }

@@ -1,0 +1,124 @@
+package graft.kg.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph query operators over the materialized node/edge/JS tables —
+  * Dataset re-expressions of the reference's per-graph methods
+  * (schema_v2_1.py:778-910, extractor.py:4372-4460). All are relational:
+  * joins + conditional buckets + boolean aggregates; no per-row graph
+  * objects.
+  */
+object GraphOps {
+
+  /** Toulmin structure of each argument: classify in-edges into grounds /
+    * warrants / backing / rebuttals by source type + relation
+    * (get_toulmin_structure, schema_v2_1.py:781-806). */
+  def toulmin(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val typed = edges.alias("e")
+      .join(nodes.select(col("convId"), col("id"), col("nodeType")).alias("s"),
+        col("e.convId") === col("s.convId") && col("e.source") === col("s.id"))
+      .join(nodes.filter(col("nodeType") === "argument")
+        .select(col("convId"), col("id")).alias("a"),
+        col("e.convId") === col("a.convId") && col("e.target") === col("a.id"))
+      .select(col("e.convId").as("conv_id"), col("a.id").as("argument_id"),
+        col("e.source").as("source"), col("s.nodeType").as("src_type"),
+        col("e.relation").as("relation"))
+    typed
+      .withColumn("bucket",
+        when(col("relation").isin("rebuts", "undercuts", "attacks"), "rebuttals")
+          .when(col("src_type") === "fact", "grounds")
+          .when(col("src_type") === "concept", "warrants")
+          .when(col("src_type") === "precedent", "backing")
+          .otherwise("other"))
+      .groupBy(col("conv_id"), col("argument_id"))
+      .agg(
+        sort_array(collect_list(when(col("bucket") === "grounds", col("source")))).as("grounds"),
+        sort_array(collect_list(when(col("bucket") === "warrants", col("source")))).as("warrants"),
+        sort_array(collect_list(when(col("bucket") === "backing", col("source")))).as("backing"),
+        sort_array(collect_list(when(col("bucket") === "rebuttals", col("source")))).as("rebuttals"))
+  }
+
+  /** Support structure per holding: grounding concepts, supporting facts and
+    * the JS membership (get_holding_support, schema_v2_1.py:807-836). */
+  def holdingSupport(nodes: DataFrame, edges: DataFrame, js: DataFrame): DataFrame = {
+    val in = edges.alias("e")
+      .join(nodes.filter(col("nodeType") === "holding")
+        .select(col("convId"), col("id")).alias("h"),
+        col("e.convId") === col("h.convId") && col("e.target") === col("h.id"))
+      .join(nodes.select(col("convId"), col("id"), col("nodeType")).alias("s"),
+        col("e.convId") === col("s.convId") && col("e.source") === col("s.id"))
+      .select(col("e.convId").as("conv_id"), col("h.id").as("holding_id"),
+        col("e.source").as("source"), col("s.nodeType").as("src_type"),
+        col("e.relation").as("relation"))
+    val support = in.groupBy(col("conv_id"), col("holding_id"))
+      .agg(
+        sort_array(collect_list(when(
+          col("src_type") === "concept" && col("relation") === "grounds",
+          col("source")))).as("grounding_concepts"),
+        sort_array(collect_list(when(
+          col("src_type") === "fact" && col("relation") === "supports",
+          col("source")))).as("supporting_facts"))
+    val jsAgg = js.groupBy(col("convId").as("conv_id"), col("targetId").as("holding_id"))
+      .agg(sort_array(collect_list(col("id"))).as("justification_sets"))
+    support.join(jsAgg, Seq("conv_id", "holding_id"), "left")
+  }
+
+  /** Edges belonging to a justification set (get_justification_members,
+    * schema_v2_1.py:778-779): explode support_group_ids. */
+  def justificationMembers(edges: DataFrame): DataFrame =
+    edges.select(col("convId").as("conv_id"), col("id").as("edge_id"),
+        col("source"), explode(col("supportGroupIds")).as("js_id"))
+
+  /** Counterfactual node removal: which holdings lose ALL their primary-JS
+    * support if `removed` disappears (counterfactual_remove_node_v4,
+    * extractor.py:4372-4460 — AND logic: any member removed breaks the set;
+    * OR logic: broken only when every member is removed). */
+  def counterfactual(
+      nodes: DataFrame, edges: DataFrame, js: DataFrame,
+      removedNodeId: String): DataFrame = {
+    val members = justificationMembers(edges)
+    val withLogic = members.join(
+      js.select(col("convId").as("conv_id"), col("id").as("js_id"),
+        col("targetId").as("holding_id"), col("logic"), col("isPrimary")),
+      Seq("conv_id", "js_id"))
+      .filter(col("isPrimary"))
+    withLogic.groupBy(col("conv_id"), col("holding_id"), col("js_id"), col("logic"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        count_if(col("source") === removedNodeId).as("n_removed"))
+      .withColumn("js_broken",
+        when(col("logic") === "and", col("n_removed") > 0)
+          .otherwise(col("n_removed") === col("n_members")))
+      .groupBy(col("conv_id"), col("holding_id"))
+      .agg(bool_and(col("js_broken")).as("holding_unsupported"))
+      .filter(col("holding_unsupported"))
+      .select(col("conv_id"), col("holding_id"))
+  }
+
+  /** Forward BFS reachability (trace_reasoning_path analog,
+    * schema_v2_1.py:890-910), bounded iterative frontier⨝edges joins —
+    * per-conversation graphs are small, depth ≤ maxDepth. */
+  def reachable(
+      spark: SparkSession, edges: DataFrame,
+      startNodeId: String, maxDepth: Int = 10): DataFrame = {
+    var frontier = edges.filter(col("source") === startNodeId)
+      .select(col("convId"), col("target").as("id")).distinct()
+    var acc = frontier
+    var i = 1
+    var newCount = frontier.count()
+    while (newCount > 0 && i < maxDepth) {
+      frontier = frontier.alias("f")
+        .join(edges.alias("e"),
+          col("f.convId") === col("e.convId") && col("f.id") === col("e.source"))
+        .select(col("e.convId").as("convId"), col("e.target").as("id"))
+        .distinct()
+        .join(acc, Seq("convId", "id"), "left_anti")
+        .localCheckpoint()
+      newCount = frontier.count()
+      acc = acc.union(frontier)
+      i += 1
+    }
+    acc.select(col("convId").as("conv_id"), col("id"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.kg.gen.TranscriptGen
+import graft.kg.pipeline.KgPipeline
+import graft.kg.query.{GraphOps, Retrieval}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-query-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+  import spark.implicits._
+
+  private lazy val transcripts = TranscriptGen.turns(30, 12).toDF()
+  private lazy val nodes = KgPipeline.nodesDirect(spark, transcripts).toDF().cache()
+  private lazy val edges = KgPipeline.edgesDirect(spark, transcripts).toDF().cache()
+  private lazy val js = {
+    implicit val e = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
+    KgPipeline.flatExtract(spark, transcripts)(_.justificationSets).toDF().cache()
+  }
+
+  test("linearization is stable and ordered by node type") {
+    val a = Retrieval.linearizeStable(nodes).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = Retrieval.linearizeStable(nodes.repartition(13)).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a == b)
+    assert(a.nonEmpty)
+    assert(a.values.forall(_.nonEmpty))
+  }
+
+  test("tfidf ranks the self-document first for a distinctive query") {
+    val docs = Retrieval.linearizeStable(nodes)
+    val someDoc = docs.orderBy("conv_id").first()
+    val queryText = someDoc.getString(1).split(" ").take(25).mkString(" ")
+    val queries = Seq((someDoc.getString(0), queryText)).toDF("query_id", "query_text")
+    val top = Retrieval.topK(
+      Retrieval.tfidfScores(spark, docs, queries), 3, docCol = "doc_id").collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[String]("doc_id") == someDoc.getString(0))
+  }
+
+  test("bm25 scores are positive and rank term-bearing docs") {
+    val docs = Seq(
+      ("d1", "natural justice hearing opportunity fairness"),
+      ("d2", "arbitrary classification differentia nexus"),
+      ("d3", "proportionality aim restrictive means balancing")).toDF("conv_id", "doc_text")
+    val queries = Seq(("q1", "natural justice")).toDF("query_id", "query_text")
+    val out = Retrieval.bm25Scores(spark, docs, queries).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("doc_id") == "d1")
+    assert(out.head.getAs[Double]("score") > 0)
+  }
+
+  test("concept-set retrieval scores exact and fuzzy matches") {
+    val scores = Retrieval.conceptSetScores(spark, nodes,
+      Seq("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM", "NATURAL_JUSTICE"))
+    val rows = scores.collect()
+    assert(rows.nonEmpty)
+    // exact query id scores the grade (supporting=3); fuzzy scores grade*sim < 3
+    val exact = rows.filter(_.getAs[String]("query_cid").startsWith("DOCTRINE_"))
+    assert(exact.forall(_.getAs[Double]("score") == 3.0))
+    val fuzzy = rows.filter(_.getAs[String]("query_cid") == "NATURAL_JUSTICE")
+    assert(fuzzy.forall(r => r.getAs[Double]("score") > 0 && r.getAs[Double]("score") < 3.0))
+  }
+
+  test("toulmin buckets argument in-edges by source type") {
+    val t = GraphOps.toulmin(nodes, edges)
+    val rows = t.collect()
+    if (rows.nonEmpty) {
+      for (r <- rows) {
+        val all = r.getSeq[String](2) ++ r.getSeq[String](3) ++
+          r.getSeq[String](4) ++ r.getSeq[String](5)
+        assert(all.nonEmpty)
+      }
+    }
+    // arguments appear as edge targets rarely in v1 (most argument edges point
+    // AT holdings); assert the op runs and respects the schema either way
+    assert(t.columns.toSeq ==
+      Seq("conv_id", "argument_id", "grounds", "warrants", "backing", "rebuttals"))
+  }
+
+  test("holding support lists grounding concepts, supporting facts, JS") {
+    val hs = GraphOps.holdingSupport(nodes, edges, js)
+    val rows = hs.collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getSeq[String](2).nonEmpty)) // grounding concepts
+    assert(rows.exists(r => Option(r.getSeq[String](4)).exists(_.nonEmpty))) // js
+  }
+
+  test("counterfactual: removing the sole AND-support breaks the holding") {
+    // hand-built micro graph: one holding, one primary AND js, one support edge
+    val n = Seq(
+      ("c0", "f1", "fact"), ("c0", "h1", "holding")).toDF("convId", "id", "nodeType")
+    val e = Seq(
+      ("c0", "e1", "f1", "h1", "supports", Seq("js1"))
+    ).toDF("convId", "id", "source", "target", "relation", "supportGroupIds")
+    val j = Seq(("c0", "js1", "h1", "and", true))
+      .toDF("convId", "id", "targetId", "logic", "isPrimary")
+    val broken = GraphOps.counterfactual(n, e, j, "f1").collect()
+    assert(broken.map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("c0", "h1")))
+    val notBroken = GraphOps.counterfactual(n, e, j, "f999").collect()
+    assert(notBroken.isEmpty)
+  }
+
+  test("reachability BFS walks support edges") {
+    val e = Seq(
+      ("c0", "e1", "f1", "a1", "supports"),
+      ("c0", "e2", "a1", "h1", "supports"),
+      ("c0", "e3", "h1", "i1", "resolves")).toDF("convId", "id", "source", "target", "relation")
+    val r = GraphOps.reachable(spark, e, "f1").collect()
+      .map(x => x.getString(1)).toSet
+    assert(r == Set("a1", "h1", "i1"))
+  }
+}
