@@ -1,0 +1,62 @@
+package graft
+
+import graft.kg.eval.PrEval
+import graft.kg.gen.TranscriptGen
+import graft.kg.pipeline.KgPipeline
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The P/R ≥ 0.95 acceptance harness (BASELINE.json): extracted triples are
+  * compared as sets against the committed golden fixture — the golden-
+  * snapshot pattern of the reference test bench
+  * (unified_testing_bench.py:1116-1130). Regenerate the fixture
+  * (graft.kg.GoldenGen) only on INTENTIONAL rule changes. */
+class PrHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pr-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def golden: Seq[(String, String, String, String)] = {
+    val in = getClass.getResourceAsStream("/graft/golden_triples.json")
+    val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    import scala.jdk.CollectionConverters._
+    root.elements().asScala.map { n =>
+      (n.get(0).asText(), n.get(1).asText(), n.get(2).asText(), n.get(3).asText())
+    }.toSeq
+  }
+
+  test("triple P/R vs golden fixture is 1.0 (and the 0.95 gate holds)") {
+    import spark.implicits._
+    val transcripts = (0 until 10)
+      .flatMap(i => TranscriptGen.conversation(f"conv_$i%06d", 14)).toDF()
+    val actual = KgPipeline.triplesDirect(spark, transcripts).toDF()
+      .withColumnRenamed("convId", "conv_id")
+    val expected = golden.toDF("conv_id", "subj", "pred", "obj")
+    val prf = PrEval.prf(actual, expected)
+    assert(prf.nExpected == 102)
+    assert(prf.precision >= 0.95 && prf.recall >= 0.95,
+      s"P=${prf.precision} R=${prf.recall} matched=${prf.nMatched}/${prf.nExpected}")
+    assert(prf.precision == 1.0 && prf.recall == 1.0, prf.toString)
+  }
+
+  test("per-conversation P/R drill-down detects an injected mismatch") {
+    import spark.implicits._
+    val expected = golden.toDF("conv_id", "subj", "pred", "obj")
+    val broken = expected.limit(50) // drop half → recall < 1 for some convs
+    val byConv = PrEval.prfByConv(broken, expected).collect()
+    assert(byConv.exists(r => r.getAs[Double]("recall") < 1.0))
+    // and precision stays 1.0 wherever any triples remain (broken ⊆ expected)
+    assert(byConv.filter(_.getAs[Long]("actual") > 0)
+      .forall(r => r.getAs[Double]("precision") == 1.0))
+  }
+}
