@@ -102,6 +102,24 @@ object DocExtractor {
     "conjunctive_satisfaction (AND logic)" -> "satisfies",
     "disjunctive_sufficiency (OR logic)" -> "partially_satisfies")
 
+  // cheap lowercase-substring prefilters: a sentence can only match the
+  // corresponding classifier regex if it contains one of these literals, so
+  // the (backtracking) regex runs on a small fraction of sentences
+  private val IssuePrefilter = Array("whether", "question", "issue", "consideration", "determination")
+  private val ArgPrefilter = Array("contend", "submit", "argue", "urged", "canvass", "assert")
+  private val FactPrefilter = Array("filed", "issued", "passed", "arrest", "convict",
+    "sentenc", "terminat", "dismissed", "execut", "entered", "served", "received",
+    "granted", "rejected", "acquir", "notif", "publish", "register", "lodged",
+    "paid", "deposit", "awarded")
+  private val DispositionPrefilter = Array("allowed", "dismissed", "rejected",
+    "remand", "set aside", "modified")
+
+  private def containsAny(low: String, lits: Array[String]): Boolean = {
+    var i = 0
+    while (i < lits.length) { if (low.contains(lits(i))) return true; i += 1 }
+    false
+  }
+
   final case class SignalHit(patternName: String, phrase: String, sentIdx: Int)
   final case class ConceptHit(conceptId: String, phrase: String, sentIdx: Int, offsetInSent: Int)
 
@@ -192,15 +210,18 @@ object DocExtractor {
 
     val holdingSents = doc.sentences.indices.filter(i =>
       sentHasPattern(i, Set("primary_holding", "ratio_decidendi_marker"))).toVector
+    val holdingSet = holdingSents.toSet
     val issueSents = doc.sentences.indices.filter(i =>
-      IssueCue.matcher(doc.sentences(i).text).find() && !holdingSents.contains(i)).toVector
+      containsAny(sentLower(i), IssuePrefilter) &&
+        IssueCue.matcher(doc.sentences(i).text).find() && !holdingSet.contains(i)).toVector
     val outcomeSentOpt: Option[(Int, String)] = {
       // last matching sentence wins (operative tail, like the AYM window
       // selector's last-occurrence rule); within that sentence the FIRST cue
       // in priority order wins ("appeal is allowed ... order is set aside"
       // → allowed)
       val lastIdx = doc.sentences.indices.reverse.find(i =>
-        DispositionCues.exists(_._1.matcher(doc.sentences(i).text).find()))
+        containsAny(sentLower(i), DispositionPrefilter) &&
+          DispositionCues.exists(_._1.matcher(doc.sentences(i).text).find()))
       lastIdx.map { i =>
         val disp = DispositionCues.collectFirst {
           case (pat, d) if pat.matcher(doc.sentences(i).text).find() => d
@@ -208,13 +229,16 @@ object DocExtractor {
         (i, disp)
       }
     }
+    val issueSet = issueSents.toSet
     val argSents = doc.sentences.indices.filter(i =>
-      ArgCue.matcher(doc.sentences(i).text).find() &&
-        !holdingSents.contains(i) && !issueSents.contains(i)).toVector
+      containsAny(sentLower(i), ArgPrefilter) &&
+        ArgCue.matcher(doc.sentences(i).text).find() &&
+        !holdingSet.contains(i) && !issueSet.contains(i)).toVector
     val classified: Set[Int] =
-      holdingSents.toSet ++ issueSents ++ argSents ++ outcomeSentOpt.map(_._1).toSet
+      holdingSet ++ issueSents ++ argSents ++ outcomeSentOpt.map(_._1).toSet
     val factSents = doc.sentences.indices.filter(i =>
-      FactCue.matcher(doc.sentences(i).text).find() && !classified.contains(i)).toVector
+      containsAny(sentLower(i), FactPrefilter) &&
+        FactCue.matcher(doc.sentences(i).text).find() && !classified.contains(i)).toVector
 
     val nodes = ArrayBuffer.empty[Node]
     def blankNode(id: String, ntype: String, text: String, anchor: Anchor,
@@ -358,9 +382,15 @@ object DocExtractor {
 
     def argmaxCluster(text: String, candidates: Iterable[String], minScore: Int): Option[String] = {
       val mt = mtOf(text)
+      // prune to clusters that can possibly score > 0 (inverted keyword
+      // index), keeping the original iteration order for tie determinism
+      val possible: Set[String] =
+        mt.keywords.iterator.flatMap(k => ontology.keywordIndex.getOrElse(k, Nil)).toSet ++
+          ontology.alwaysCandidates
       var best: Option[String] = None
       var bestScore = 0
-      for (cid <- candidates) {
+      for (cid <- candidates
+           if possible.contains(cid) || !ontology.concepts.contains(cid)) {
         val s = scoreAgainst(mt, cid)
         if (s > bestScore) { bestScore = s; best = Some(cid) }
       }
@@ -379,7 +409,9 @@ object DocExtractor {
       else argmaxCluster(h.text, clusters.keys.toList, 3).foreach(cid => addMember(cid, h))
     }
     // facts / arguments: min score 2, only clusters with issues/holdings/concepts
-    def seededClusters: List[String] = clusters.collect {
+    // (constant during fact/argument/precedent assignment — those additions
+    // never seed new clusters — so computed once, not per node)
+    val seededClusters: List[String] = clusters.collect {
       case (cid, cl) if cl.members("issue").nonEmpty || cl.members("holding").nonEmpty ||
         cl.members("concept").nonEmpty => cid
     }.toList

@@ -81,7 +81,27 @@ final case class OntologyData(
     concepts: Map[String, ConceptDef],
     patterns: Map[String, SignalPattern],
     statuteMappings: Map[String, String]
-)
+) {
+  /** Inverted keyword → concept-ids index for candidate pruning in cluster
+    * scoring. A concept can score > 0 only if it shares ≥1 index keyword
+    * with the node text OR one of its matchable phrases has an empty keyword
+    * set (those land in `alwaysCandidates`). Pruning therefore preserves the
+    * exact argmax (including iteration-order tie-breaks on the pruned-but-
+    * order-preserved candidate list). */
+  lazy val (keywordIndex: Map[String, List[String]], alwaysCandidates: Set[String]) = {
+    val idx = scala.collection.mutable.Map.empty[String, List[String]]
+    val always = scala.collection.mutable.Set.empty[String]
+    for ((cid, c) <- concepts.toList.sortBy(_._1)) {
+      val kws = Normalize.keywordSet((cid :: c.label :: c.requires ::: c.defeaters :::
+        c.keyPhrases ::: c.establishingCases ::: c.typicalFactPatterns).mkString(" "))
+      kws.foreach(k => idx(k) = idx.getOrElse(k, Nil) :+ cid)
+      val phraseless = (c.keyPhrases ++ c.establishingCasesNorm ++ c.typicalFactPatterns)
+        .exists(p => p.nonEmpty && Normalize.keywordSet(p).isEmpty)
+      if (phraseless) always += cid
+    }
+    (idx.toMap, always.toSet)
+  }
+}
 
 /** Loader + scoring for the compiled ontology (the broadcast alias
   * dictionary of the engine). Data derives from the reference's compiled
