@@ -85,15 +85,28 @@ object DocExtractor {
     "complainant" -> "complainant", "amicus" -> "amicus",
     "learned counsel" -> "third_party", "intervenor" -> "third_party")
 
-  /** Treatment-pattern name → (holding→precedent relation) mapping. The
-    * pattern grammar's own relation strings ("follows", "distinguished",
-    * "overruled", ...) run through normalize→matrix→repair like every edge. */
+  /** Pattern names (across the IN/ECHR/TR grammars) whose hit marks a
+    * holding sentence. */
+  private val HoldingPatterns: Set[String] = Set(
+    "primary_holding", "ratio_decidendi_marker",            // IN
+    "violation_finding",                                    // ECHR + TR
+    "no_violation_finding", "cassation_outcome")            // TR
+
+  /** Treatment-pattern name → (holding→precedent relation) mapping, across
+    * jurisdictions. The relation strings run through
+    * normalize→matrix→repair like every edge. */
   private val TreatmentPatterns: Map[String, String] = Map(
-    "following_precedent" -> "follows",
+    "following_precedent" -> "follows",                     // IN
     "distinguishing_precedent" -> "distinguishes",
     "doubting_precedent" -> "doubts",
     "overruling_precedent" -> "overrules",
-    "explaining_precedent" -> "explains")
+    "explaining_precedent" -> "explains",
+    "precedent_following" -> "follows",                     // ECHR
+    "precedent_distinguishing" -> "distinguishes",
+    "precedent_developing" -> "explains",
+    "settled_case_law" -> "follows",                        // TR
+    "precedent_self_citation" -> "follows",
+    "change_of_case_law" -> "overrules")
 
   /** Patterns that create fact→concept edges when co-occurring in a sentence. */
   private val FactConceptPatterns: Map[String, String] = Map(
@@ -209,7 +222,7 @@ object DocExtractor {
       sigBySent.getOrElse(i, Nil).exists(h => names.contains(h.patternName))
 
     val holdingSents = doc.sentences.indices.filter(i =>
-      sentHasPattern(i, Set("primary_holding", "ratio_decidendi_marker"))).toVector
+      sentHasPattern(i, HoldingPatterns)).toVector
     val holdingSet = holdingSents.toSet
     val issueSents = doc.sentences.indices.filter(i =>
       containsAny(sentLower(i), IssuePrefilter) &&

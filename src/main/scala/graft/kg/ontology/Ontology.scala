@@ -235,13 +235,26 @@ object Ontology {
     OntologyData(concepts, patterns, statutes)
   }
 
-  /** The default compiled ontology shipped as a resource. */
-  lazy val default: OntologyData = {
-    val in = getClass.getResourceAsStream("/graft/ontology.json")
-    require(in != null, "missing resource /graft/ontology.json")
+  private def loadResource(name: String): OntologyData = {
+    val in = getClass.getResourceAsStream(name)
+    require(in != null, s"missing resource $name")
     val json = scala.io.Source.fromInputStream(in, "UTF-8").mkString
     in.close()
     parse(json)
+  }
+
+  /** The default (Indian) compiled ontology shipped as a resource. */
+  lazy val default: OntologyData = loadResource("/graft/ontology.json")
+  /** ECHR ontology (echr_ontology_compiled_v3_1.json shape). */
+  lazy val echr: OntologyData = loadResource("/graft/ontology_echr.json")
+  /** Turkish ontology (turkish_legal_ontology_cleaned.json shape). */
+  lazy val turkish: OntologyData = loadResource("/graft/ontology_tr.json")
+
+  /** Jurisdiction → its compiled ontology (extractor.py jurisdiction knob). */
+  def forJurisdiction(j: String): OntologyData = j.toLowerCase.trim match {
+    case "echr" | "eu"   => echr
+    case "tr" | "turkey" => turkish
+    case _               => default
   }
 
   /** Weighted relevance score between node text and a concept definition

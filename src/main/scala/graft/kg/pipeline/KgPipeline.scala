@@ -80,10 +80,11 @@ object KgPipeline {
       spark: SparkSession,
       transcripts: DataFrame,
       jurisdiction: String = "in",
-      ontology: OntologyData = Ontology.default): Dataset[ConvGraph] = {
+      ontology: OntologyData = null): Dataset[ConvGraph] = {
     import spark.implicits._
+    val ont = Option(ontology).getOrElse(Ontology.forJurisdiction(jurisdiction))
     slimTurns(spark, transcripts)
-      .mapPartitions(it => perConversation(it, ontology, jurisdiction)(Iterator.single(_)))
+      .mapPartitions(it => perConversation(it, ont, jurisdiction)(Iterator.single(_)))
   }
 
   /** Fast path: run extraction and emit projected rows DIRECTLY from

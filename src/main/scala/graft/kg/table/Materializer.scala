@@ -38,7 +38,7 @@ object Materializer {
       root: String,
       nBuckets: Int = 32,
       jurisdiction: String = "in",
-      ontology: OntologyData = Ontology.default): Report = {
+      ontology: OntologyData = null): Report = {
 
     val store = new SnapshotStore(root)
     val done = store.completedBuckets
