@@ -1,0 +1,87 @@
+package graft
+
+import graft.kg.gen.TranscriptGen
+import graft.kg.streaming.TranscriptStream
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("streaming extraction emits a conversation's triples after its session gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Int, String, Timestamp)]
+    val df = input.toDF().toDF("conv_id", "turn_idx", "text", "ts")
+
+    val out = TranscriptStream.triples(spark, df,
+      gapMinutes = 10, watermarkDelay = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("triples_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+
+    val base = 1700000000000L
+    val conv = TranscriptGen.conversation("conv_000000", 12)
+    // batch 1: all turns of the conversation, 1 minute apart
+    input.addData(conv.map(t =>
+      ("conv_000000", t.turn_idx, t.text, new Timestamp(base + t.turn_idx * 60000L))))
+    q.processAllAvailable()
+    q.awaitTermination()
+    assert(spark.table("triples_out").count() == 0) // gap not yet passed
+
+    // batch 2: a late heartbeat turn from ANOTHER conversation far in the
+    // future advances the watermark past conv_000000's gap
+    val q2 = out.writeStream.format("memory").queryName("triples_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    input.addData(Seq(("conv_zzz", 0, "later heartbeat", new Timestamp(base + 3600_000L))))
+    q2.processAllAvailable()
+    q2.awaitTermination()
+    val emitted = spark.table("triples_out2").as[graft.kg.model.Triple].collect()
+    assert(emitted.nonEmpty, "expected triples after session close")
+    assert(emitted.forall(_.convId == "conv_000000"))
+
+    // the streaming result equals the batch result for the same conversation
+    val batch = graft.kg.extract.DocExtractor
+      .extract("conv_000000", conv.map(t => (t.turn_idx, t.text)))
+      .edges.map(e => (e.source, e.relation, e.target)).toSet
+    assert(emitted.map(t => (t.subj, t.pred, t.obj)).toSet == batch)
+  }
+
+  test("watermarked event rollup aggregates windows in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val out = TranscriptStream.eventRollup(df, "1 hour", "1 hour", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    input.addData(Seq(
+      (new Timestamp(base), "click", 1.0),
+      (new Timestamp(base + 60000), "click", 2.0),
+      (new Timestamp(base + 120000), "error", 5.0)))
+    q.processAllAvailable()
+    // append mode applies the watermark computed at the END of the previous
+    // batch, so two further batches are needed: one to advance the watermark
+    // past the window end, one to emit under the advanced watermark
+    input.addData(Seq((new Timestamp(base + 2 * 3600_000L), "click", 1.0)))
+    q.processAllAvailable()
+    input.addData(Seq((new Timestamp(base + 3 * 3600_000L), "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rollup_out").collect()
+    assert(rows.exists(r => r.getAs[String]("event_type") == "click" && r.getAs[Long]("n") == 2))
+    assert(rows.exists(r => r.getAs[String]("event_type") == "error"))
+  }
+}
