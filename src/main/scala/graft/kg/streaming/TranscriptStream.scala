@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 // Top-level + public: Spark's generated (de)serializers must instantiate
 // these (a private/nested class fails in Janino codegen at runtime).
 final case class BufferedTurn(turn_idx: Int, text: String)
-final case class ConvState(turns: Seq[BufferedTurn])
+final case class ConvState(turns: Seq[BufferedTurn], maxEventMs: Long)
 final case class InTurn(conv_id: String, turn_idx: Int, text: String,
                         ts: java.sql.Timestamp)
 
@@ -59,11 +59,17 @@ object TranscriptStream {
               g.edges.iterator.map(e => Triple(convId, e.source, e.relation, e.target))
             }
           } else {
-            val incoming = rows.map(r => BufferedTurn(r.turn_idx, r.text)).toSeq
-            val merged = state.getOption.map(_.turns).getOrElse(Seq.empty) ++ incoming
-            state.update(ConvState(merged))
-            // complete when the watermark passes last-event + gap
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gapMs)
+            val batch = rows.toSeq
+            val incoming = batch.map(r => BufferedTurn(r.turn_idx, r.text))
+            val prev = state.getOption
+            val merged = prev.map(_.turns).getOrElse(Seq.empty) ++ incoming
+            val maxMs = math.max(prev.map(_.maxEventMs).getOrElse(0L),
+              batch.map(_.ts.getTime).max)
+            state.update(ConvState(merged, maxMs))
+            // complete when the watermark passes the LAST TURN's event time +
+            // gap (anchoring to the watermark instead would make completion
+            // depend on micro-batch scheduling)
+            state.setTimeoutTimestamp(maxMs + gapMs)
             Iterator.empty
           }
       }

@@ -112,6 +112,23 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notBroken.isEmpty)
   }
 
+  test("rank metrics: perfect ranking scores 1.0, inverted scores less") {
+    import graft.kg.eval.RankMetrics
+    val qrels = Seq(("q1", "d1", 2), ("q1", "d2", 1)).toDF("query_id", "doc_id", "rel")
+    val perfect = Seq(("q1", "d1", 0.9), ("q1", "d2", 0.8), ("q1", "d3", 0.1))
+      .toDF("query_id", "doc_id", "score")
+    val m = RankMetrics.perQuery(perfect, qrels, k = 3).collect().head
+    assert(m.getAs[Double]("ndcg") == 1.0)
+    assert(m.getAs[Double]("ap") == 1.0)
+    assert(math.abs(m.getAs[Double]("p_at_3") - 2.0 / 3) < 1e-6)
+    val inverted = Seq(("q1", "d3", 0.9), ("q1", "d2", 0.8), ("q1", "d1", 0.1))
+      .toDF("query_id", "doc_id", "score")
+    val mi = RankMetrics.perQuery(inverted, qrels, k = 3).collect().head
+    assert(mi.getAs[Double]("ndcg") < 1.0)
+    val sum = RankMetrics.summary(perfect, qrels, 3).collect().head
+    assert(sum.getAs[Double]("map") == 1.0)
+  }
+
   test("reachability BFS walks support edges") {
     val e = Seq(
       ("c0", "e1", "f1", "a1", "supports"),

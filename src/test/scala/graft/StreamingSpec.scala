@@ -29,25 +29,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = TranscriptStream.triples(spark, df,
       gapMinutes = 10, watermarkDelay = "0 seconds")
     val q = out.writeStream.format("memory").queryName("triples_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      .outputMode("append").start()
 
     val base = 1700000000000L
     val conv = TranscriptGen.conversation("conv_000000", 12)
-    // batch 1: all turns of the conversation, 1 minute apart
+    // batch 1: all turns of the conversation, 1 minute apart; the watermark
+    // during this batch is still 0 → nothing can time out
     input.addData(conv.map(t =>
       ("conv_000000", t.turn_idx, t.text, new Timestamp(base + t.turn_idx * 60000L))))
     q.processAllAvailable()
-    q.awaitTermination()
     assert(spark.table("triples_out").count() == 0) // gap not yet passed
 
-    // batch 2: a late heartbeat turn from ANOTHER conversation far in the
-    // future advances the watermark past conv_000000's gap
-    val q2 = out.writeStream.format("memory").queryName("triples_out2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // heartbeats from ANOTHER conversation advance the watermark; the first
+    // raises it past conv_000000's (last turn + gap), the second processes
+    // under that advanced watermark and fires the timeout
     input.addData(Seq(("conv_zzz", 0, "later heartbeat", new Timestamp(base + 3600_000L))))
-    q2.processAllAvailable()
-    q2.awaitTermination()
-    val emitted = spark.table("triples_out2").as[graft.kg.model.Triple].collect()
+    q.processAllAvailable()
+    input.addData(Seq(("conv_zzz", 1, "another heartbeat", new Timestamp(base + 2 * 3600_000L))))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("triples_out").as[graft.kg.model.Triple].collect()
     assert(emitted.nonEmpty, "expected triples after session close")
     assert(emitted.forall(_.convId == "conv_000000"))
 
