@@ -39,8 +39,12 @@ object Bench {
     spark
   }
 
-  /** Extraction throughput at a given parallelism over a pre-written
-    * transcripts parquet. Returns (seconds, triples). */
+  /** End-to-end extract → link → CANONICALIZE throughput at a given
+    * parallelism over a pre-written transcripts parquet: per-conversation
+    * extraction (mention-detect, entity-link clustering, edge induction)
+    * plus cross-conversation canonicalization (connected components over
+    * candidate-match keys) to the canonical triple set. Returns
+    * (seconds, canonical triples). */
   private def kgRun(cores: Int, transcriptsPath: String): (Double, Long) = {
     val spark = session(cores)
     try {
@@ -53,10 +57,29 @@ object Bench {
       var triples = 0L
       for (_ <- 1 to 3) {
         val t0 = System.nanoTime()
-        triples = KgPipeline.triplesDirect(spark, transcripts).count()
+        val nodes = KgPipeline.nodesDirect(spark, transcripts).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val edges = KgPipeline.edgesDirect(spark, transcripts).toDF()
+        triples = graft.kg.canonical.Canonicalizer
+          .canonicalTriples(spark, nodes, edges).count()
+        nodes.unpersist()
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
       }
       (best, triples)
+    } finally spark.stop()
+  }
+
+  /** Full pipeline incl. MATERIALIZE: all 8 bucket-partitioned tables +
+    * snapshot/lineage commit, fresh output dir. Returns (sec, triple rows). */
+  private def materializeRun(cores: Int, transcriptsPath: String): (Double, Long) = {
+    val spark = session(cores)
+    try {
+      val transcripts = spark.read.parquet(transcriptsPath)
+      val out = java.nio.file.Files.createTempDirectory("graft_bench_mat").toString
+      val t0 = System.nanoTime()
+      val report = graft.kg.table.Materializer.run(spark, transcripts, out, nBuckets = 32)
+      val sec = (System.nanoTime() - t0) / 1e9
+      (sec, report.rows.getOrElse("triples", 0L))
     } finally spark.stop()
   }
 
@@ -100,6 +123,9 @@ object Bench {
     val eff2to8 = (lowTps / base2Tps) / (lowCores.toDouble / 2)
     val eff8to32 = (highTps / lowTps) / (highCores.toDouble / lowCores)
 
+    // --- phase 1c: full pipeline incl. materialize, at local[high] ----------
+    val (matSec, matTriples) = materializeRun(highCores, transcriptsPath)
+
     // --- phase 2: headline operator queries at local[high] ------------------
     val spark = session(highCores)
     val results = SparkEntry.queries.toList.sortBy(_._1).map { case (name, fn) =>
@@ -112,7 +138,7 @@ object Bench {
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + base2Sec + lowSec + highSec
+    val total = results.map(_._2).sum + base2Sec + lowSec + highSec + matSec
     val kg =
       s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
         s""""base":{"cores":2,"sec":${f(base2Sec)},"triples_per_sec":${f(base2Tps)}},""" +
@@ -120,7 +146,8 @@ object Bench {
         s""""high":{"cores":$highCores,"sec":${f(highSec)},"triples_per_sec":${f(highTps)}},""" +
         s""""scaling_efficiency":${f(eff2to8)},""" +
         s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
-        s""""scaling_efficiency_8_to_32":${f(eff8to32)}}"""
+        s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
+        s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,"triples_per_sec":${f(matTriples / matSec)}}}"""
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")
   }

@@ -103,7 +103,7 @@ object Dedup {
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k)
     val pairs = minhashPairs(sigs, idCol, k, bands, threshold)
-    val comps = ConnectedComponents.run(spark,
+    val comps = ConnectedComponents.runAuto(spark,
       pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
     df.select(col(idCol).cast("string").as("id"))
       .join(comps, Seq("id"), "left")

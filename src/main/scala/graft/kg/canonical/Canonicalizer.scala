@@ -47,7 +47,7 @@ object Canonicalizer {
       .select(col("name_key").as("src"), col("cit_key").as("dst")).distinct()
     // self-edges keep citation-only keys present in the component table
     val selfEdges = keys.select(col("cit_key").as("src"), col("cit_key").as("dst")).distinct()
-    val comps = ConnectedComponents.run(spark, pairEdges.union(selfEdges))
+    val comps = ConnectedComponents.runAuto(spark, pairEdges.union(selfEdges))
     keys
       .join(comps.withColumnRenamed("id", "cit_key"), Seq("cit_key"), "left")
       .select(col("convId"), col("id"),

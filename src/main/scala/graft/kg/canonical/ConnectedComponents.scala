@@ -15,6 +15,46 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** edges(src, dst) → components(id, component), choosing the strategy by
+    * the DISTINCT edge count: candidate-match graphs are orders of magnitude
+    * smaller than the corpus (distinct entity keys, not mention rows), so up
+    * to `localThreshold` distinct edges a driver-side union-find + broadcast
+    * beats ~10 iterative shuffle rounds of fixed driver latency; beyond it
+    * the distributed min-label loop takes over. Both produce identical
+    * smallest-reachable-id labels. */
+  def runAuto(spark: SparkSession, edges: DataFrame,
+              localThreshold: Long = 2000000L): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    if (sym.count() <= localThreshold) runLocal(spark, sym) else run(spark, sym)
+  }
+
+  /** Driver-side union-find over a (small, distinct) edge list. */
+  private def runLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val pairs = edges.as[(String, String)].collect()
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- pairs) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        // min-id root keeps labels identical to the distributed variant
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val rows = parent.keys.toSeq.sorted.map(k => (k, find(k)))
+    rows.toDF("id", "component")
+  }
+
   /** edges(src, dst) → components(id, component) where component is the
     * lexicographically smallest reachable id (deterministic label). Isolated
     * ids appear iff present as a self-edge or endpoint. */

@@ -325,11 +325,13 @@ object DocExtractor {
 
     // ---- Stage 4: auto-fill resolves_issue (extractor.py:4587-4628) ---------
     if (holdings.nonEmpty && issues.nonEmpty) {
-      def kwBilingual(n: Node): Set[String] = {
+      val kwBilingualCache = mutable.Map.empty[String, Set[String]]
+      def kwBilingual(n: Node): Set[String] = kwBilingualCache.getOrElseUpdate(n.id, {
         val combined = (Option(n.text).getOrElse("") + " " +
           Option(n.anchor).map(_.surfaceText).getOrElse(""))
-        "\\b\\w{4,}\\b".r.findAllIn(combined.toLowerCase(Locale.ROOT)).toSet
-      }
+        // \b\w{4,}\b equivalent via the shared scanner (extractor.py:4601)
+        Normalize.tokenize(combined).iterator.filter(_.length >= 4).toSet
+      })
       holdings =
         if (issues.size == 1) holdings.map(_.copy(resolvesIssue = issues.head.id))
         else holdings.map { h =>

@@ -59,12 +59,29 @@ object Normalize {
     turkishLower(nfc).replaceAll("\\s+", " ").trim
   }
 
-  private val TokenRe = "(?U)\\w+".r
-
-  /** Unicode-aware word tokenization over case-folded text (extractor.py:1110-1116). */
-  def tokenize(text: String): List[String] =
-    if (text == null || text.isEmpty) Nil
-    else TokenRe.findAllIn(text.toLowerCase(Locale.ROOT)).toList
+  /** Unicode-aware word tokenization over case-folded text
+    * (extractor.py:1110-1116). Hand-rolled scanner equivalent to
+    * `(?U)\\w+` on the lowered text — tokenization is the engine's hottest
+    * scalar (scoring, clustering, repair, autofill all build keyword sets),
+    * and the regex version allocated a Match per token. */
+  def tokenize(text: String): List[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val low = text.toLowerCase(Locale.ROOT)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val n = low.length
+    while (i < n) {
+      val c = low.charAt(i)
+      if (Character.isLetterOrDigit(c) || c == '_') {
+        val start = i
+        while (i < n && {
+          val ch = low.charAt(i); Character.isLetterOrDigit(ch) || ch == '_'
+        }) i += 1
+        out += low.substring(start, i)
+      } else i += 1
+    }
+    out.toList
+  }
 
   /** EN + TR + FR function-word stopword set (extractor.py:1069-1083). */
   val Stopwords: Set[String] = Set(

@@ -92,11 +92,15 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val edges = Seq(("a", "b"), ("b", "c"), ("x", "y"), ("z", "z"))
       .toDF("src", "dst")
-    val comps = graft.kg.canonical.ConnectedComponents.run(spark, edges)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
-    assert(comps("x") == "x" && comps("y") == "x")
-    assert(comps("z") == "z")
+    for (variant <- Seq("distributed", "auto")) {
+      val comps = (if (variant == "auto")
+        graft.kg.canonical.ConnectedComponents.runAuto(spark, edges)
+      else graft.kg.canonical.ConnectedComponents.run(spark, edges))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a", variant)
+      assert(comps("x") == "x" && comps("y") == "x", variant)
+      assert(comps("z") == "z", variant)
+    }
   }
 
   test("canonicalization merges name and citation keys across conversations") {
