@@ -49,6 +49,42 @@ class PrHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(prf.precision == 1.0 && prf.recall == 1.0, prf.toString)
   }
 
+  test("canonical triples P/R: canonicalization is lossless on the fixture set") {
+    import spark.implicits._
+    val transcripts = (0 until 10)
+      .flatMap(i => TranscriptGen.conversation(f"conv_$i%06d", 14)).toDF()
+    val nodes = KgPipeline.nodesDirect(spark, transcripts).toDF()
+    val edges = KgPipeline.edgesDirect(spark, transcripts).toDF()
+    val canonical = graft.kg.canonical.Canonicalizer.canonicalTriples(spark, nodes, edges)
+    // same cardinality as the raw edge set (a pure endpoint rewrite)
+    assert(canonical.count() == edges.count())
+    // canonical ids actually merged mentions: strictly fewer distinct
+    // canonical precedent entities than precedent mention rows
+    val mentions = nodes.where(org.apache.spark.sql.functions.col("nodeType") === "precedent").count()
+    val entities = graft.kg.canonical.Canonicalizer.canonicalPrecedents(spark, nodes)
+      .select("canonical_id").distinct().count()
+    assert(entities < mentions, s"$entities !< $mentions")
+  }
+
+  test("echr extraction is deterministic and matches its own golden spine") {
+    val turns = Seq(
+      0 -> "The applicant complained under Article 3 of the Convention.",
+      1 -> "In Selmouni v. France [GC], no. 25803/94, the Court held that severity must attain a minimum level.",
+      2 -> "The question is whether the treatment attained that level.",
+      3 -> "We hold that there has been a violation of Article 3.",
+      4 -> "The application is accordingly allowed.")
+    val g1 = graft.kg.extract.DocExtractor.extract("e1", turns,
+      graft.kg.ontology.Ontology.echr, "echr")
+    val g2 = graft.kg.extract.DocExtractor.extract("e1", scala.util.Random.shuffle(turns.toList),
+      graft.kg.ontology.Ontology.echr, "echr")
+    assert(g1.edges == g2.edges)
+    val triples = g1.edges.map(e => (e.source, e.relation, e.target)).toSet
+    val h = g1.nodes.find(_.nodeType == "holding").get.id
+    val i = g1.nodes.find(_.nodeType == "issue").get.id
+    assert(triples.contains((h, "resolves", i)))
+    assert(triples.exists { case (s, _, o) => s == h && o == "outcome" })
+  }
+
   test("per-conversation P/R drill-down detects an injected mismatch") {
     import spark.implicits._
     val expected = golden.toDF("conv_id", "subj", "pred", "obj")
