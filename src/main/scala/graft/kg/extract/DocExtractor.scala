@@ -137,9 +137,12 @@ object DocExtractor {
   final case class ConceptHit(conceptId: String, phrase: String, sentIdx: Int, offsetInSent: Int)
 
   /** Assemble turns into the conversation document: stable turn order, "\n"
-    * join (the reference's list-join adaptation, run_iltur.py:513-530). */
+    * join (the reference's list-join adaptation, run_iltur.py:513-530).
+    * Ties on turn_idx (malformed input) are broken by text so the result is a
+    * TOTAL order — arrival order after a shuffle is arbitrary. */
   def assemble(turns: Seq[(Int, String)]): String =
-    turns.sortBy(_._1).map(t => Option(t._2).getOrElse("")).mkString("\n")
+    turns.map(t => (t._1, Option(t._2).getOrElse("")))
+      .sortBy(identity).map(_._2).mkString("\n")
 
   def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
     Anchor(doc.docId, seg.startChar, seg.endChar,

@@ -49,7 +49,9 @@ object KgPipeline {
     transcripts
       .select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
       .repartition(extractionPartitions(spark), col("conv_id"))
-      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      // text as final sort key: a TOTAL order even under duplicate turn_idx,
+      // so output never depends on shuffle arrival order
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("text"))
       .as[SlimTurn]
   }
 
