@@ -45,7 +45,7 @@ object Bench {
     * plus cross-conversation canonicalization (connected components over
     * candidate-match keys) to the canonical triple set. Returns
     * (seconds, canonical triples). */
-  private def kgRun(cores: Int, transcriptsPath: String): (Double, Long) = {
+  private def kgRun(cores: Int, transcriptsPath: String, reps: Int = 3): (Double, Long) = {
     val spark = session(cores)
     try {
       import spark.implicits._
@@ -55,7 +55,7 @@ object Bench {
       // min of 3 reps: the sandbox VM shows high run-to-run variance
       var best = Double.MaxValue
       var triples = 0L
-      for (_ <- 1 to 3) {
+      for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
         val nodes = KgPipeline.nodesDirect(spark, transcripts).toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -112,7 +112,7 @@ object Bench {
     // (8 → 32) additionally reflects this single box's all-core frequency/
     // memory-bandwidth ceiling, which a real cluster adding MACHINES does not
     // hit. Both are reported; `scaling_efficiency` is the (2 → 8) pair.
-    val (base2Sec, baseTriples) = kgRun(2, transcriptsPath)
+    val (base2Sec, baseTriples) = kgRun(2, transcriptsPath, reps = 2)
     val (lowSec, lowTriples) = kgRun(lowCores, transcriptsPath)
     val (highSec, highTriples) = kgRun(highCores, transcriptsPath)
     require(lowTriples == highTriples && baseTriples == lowTriples,
