@@ -1,0 +1,96 @@
+package graft
+
+import graft.kg.rules.{CitationHit, Citations}
+import graft.kg.text.{Normalize, Segmenter}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suites (native ScalaCheck runner; FIXTURES.md §5). */
+object TextProps extends Properties("graft.text") {
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val wsGen = Gen.oneOf(" ", "  ", "\t", "\n", " \n ")
+  private val docGen: Gen[String] = for {
+    words <- Gen.nonEmptyListOf(wordGen)
+    seps <- Gen.listOfN(words.size, wsGen)
+  } yield words.zip(seps).map { case (w, s) => w + s }.mkString
+
+  property("normalizeWithMapping collapses all whitespace runs to one space") =
+    Prop.forAll(docGen) { doc =>
+      val (norm, map) = Normalize.normalizeWithMapping(doc)
+      !norm.contains("  ") && map.length == norm.length &&
+        map.forall(i => i >= 0 && i < doc.length)
+    }
+
+  property("normalizeWithMapping maps every non-ws char back to itself") =
+    Prop.forAll(docGen) { doc =>
+      val (norm, map) = Normalize.normalizeWithMapping(doc)
+      norm.indices.forall(i => norm(i) == ' ' || doc(map(i)) == norm(i))
+    }
+
+  property("alignQuote recovers any interior substring modulo whitespace") =
+    Prop.forAll(docGen, Gen.chooseNum(0, 30), Gen.chooseNum(1, 20)) { (doc, off, len) =>
+      val a = math.min(off, math.max(0, doc.length - 2))
+      val b = math.min(a + len, doc.length)
+      val q = doc.substring(a, b)
+      q.trim.isEmpty || {
+        Normalize.alignQuote(doc, q).exists { case (s, e) =>
+          Normalize.normalizeWithMapping(doc.substring(s, e))._1
+            .equalsIgnoreCase(Normalize.normalizeWithMapping(q.trim)._1)
+        }
+      }
+    }
+
+  property("segmentation offsets are consistent and ordered") =
+    Prop.forAll(docGen) { doc =>
+      val d = Segmenter.segment(doc, "x")
+      d.sentences.forall(s =>
+        s.startChar >= 0 && s.endChar <= doc.length && s.startChar < s.endChar &&
+          doc.substring(s.startChar, s.endChar).trim == s.text) &&
+        d.sentences.map(_.startChar) == d.sentences.map(_.startChar).sorted
+    }
+
+  property("tokenize equals the regex spec (?U)\\w+ on lowered text") = {
+    val re = "(?U)\\w+".r
+    Prop.forAll(docGen) { doc =>
+      Normalize.tokenize(doc) ==
+        re.findAllIn(doc.toLowerCase(java.util.Locale.ROOT)).toList
+    }
+  }
+
+  property("keywordSet is a subset of tokens, all length >= 4, no stopwords") =
+    Prop.forAll(docGen) { doc =>
+      val toks = Normalize.tokenize(doc).toSet
+      val kw = Normalize.keywordSet(doc)
+      kw.subsetOf(toks) && kw.forall(t => t.length >= 4 && !Normalize.Stopwords(t))
+    }
+
+  // citation overlap dedup invariants (citation_preprocess.py:374-394)
+  private val hitGen: Gen[CitationHit] = for {
+    start <- Gen.chooseNum(0, 200)
+    len <- Gen.chooseNum(1, 40)
+  } yield CitationHit("c", start, start + len, "t", None, None)
+
+  property("overlap dedup output spans are pairwise non-overlapping, sorted") =
+    Prop.forAll(Gen.listOf(hitGen)) { hits =>
+      val out = Citations.dedupeOverlapping(hits)
+      out.sliding(2).forall {
+        case List(a, b) => a.endChar <= b.startChar
+        case _ => true
+      }
+    }
+
+  property("overlap dedup keeps every non-overlapping input") =
+    Prop.forAll(Gen.listOf(hitGen)) { hits =>
+      val out = Citations.dedupeOverlapping(hits).toSet
+      // any input hit not overlapping ANY other input must survive
+      hits.filter(h => hits.forall(o =>
+        (o eq h) || o.endChar <= h.startChar || o.startChar >= h.endChar))
+        .forall(out.contains)
+    }
+
+  property("turkish lower is idempotent") =
+    Prop.forAll(Gen.asciiPrintableStr, Gen.oneOf("İIŞÇÖÜĞıişçöüğ", "")) { (s, tr) =>
+      val x = s + tr
+      Normalize.turkishLower(Normalize.turkishLower(x)) == Normalize.turkishLower(x)
+    }
+}
