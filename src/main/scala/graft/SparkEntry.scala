@@ -329,6 +329,12 @@ object SparkEntry {
       graft.kg.canonical.Canonicalizer.entityStats(s, nodes)
         .orderBy(col("canonical_id"))
     }),
+    "kg_quality_scores" -> ((s, dir) => {
+      val t = transcripts(s, dir)
+      graft.kg.query.GraphQuality.score(
+        KgPipeline.nodesDirect(s, t).toDF(), KgPipeline.edgesDirect(s, t).toDF())
+        .orderBy(col("conv_id"))
+    }),
     "kg_orphans" -> ((s, dir) => {
       val g = kgGraphs(s, dir)
       KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))

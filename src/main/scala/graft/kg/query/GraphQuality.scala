@@ -1,0 +1,72 @@
+package graft.kg.query
+
+import graft.kg.rules.Relations
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-graph quality scoring (1-10) — the corpus evaluation operator
+  * (evaluate_graphs.py:90-305): weighted deductions from edge validity,
+  * connectivity (orphan rate), issue resolution and anchor quality, computed
+  * relationally per conversation.
+  */
+object GraphQuality {
+
+  /** Edge validity: share of edges whose (src_type, tgt_type, relation) is in
+    * the validation matrix. The matrix is broadcast as a literal lookup set. */
+  def edgeValidity(edges: DataFrame): DataFrame = {
+    val validTriples: Seq[String] = Relations.Matrix.toSeq.flatMap {
+      case ((s, t), rels) => rels.map(r => s"$s|$t|$r")
+    }.sorted
+    val typeOf = udf((id: String) => Relations.nodeTypeFromId(id))
+    edges
+      .withColumn("sig", concat_ws("|",
+        typeOf(col("source")), typeOf(col("target")), col("relation")))
+      .withColumn("valid", col("sig").isin(validTriples: _*))
+      .groupBy(col("convId").as("conv_id"))
+      .agg((count_if(col("valid")) / count(lit(1))).as("edge_validity"))
+  }
+
+  /** Composite per-conversation quality report + 1-10 score. */
+  def score(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val validity = edgeValidity(edges)
+
+    val endpoints = edges.select(col("convId"), col("source").as("id"))
+      .union(edges.select(col("convId"), col("target").as("id"))).distinct()
+    val connectivity = nodes.filter(col("nodeType") =!= "outcome")
+      .join(endpoints.withColumnRenamed("id", "cid"),
+        nodes("convId") === endpoints("convId") && nodes("id") === col("cid"), "left")
+      .groupBy(nodes("convId").as("conv_id"))
+      .agg((count_if(col("cid").isNotNull) / count(lit(1))).as("connectivity"))
+
+    val resolution = nodes.filter(col("nodeType") === "issue")
+      .select(col("convId"), col("id").as("issue_id"))
+      .join(nodes.filter(col("nodeType") === "holding")
+        .select(col("convId"), col("resolvesIssue")),
+        Seq("convId"), "left")
+      .groupBy(col("convId").as("conv_id"), col("issue_id"))
+      .agg(max(when(col("resolvesIssue") === col("issue_id"), 1).otherwise(0)).as("resolved"))
+      .groupBy(col("conv_id"))
+      .agg((sum(col("resolved")) / count(lit(1))).as("issue_resolution"))
+
+    val anchors = nodes
+      .groupBy(col("convId").as("conv_id"))
+      .agg((count_if(col("anchor").isNotNull &&
+        col("anchor.endChar") > col("anchor.startChar")) / count(lit(1))).as("anchor_quality"))
+
+    validity
+      .join(connectivity, Seq("conv_id"), "full_outer")
+      .join(resolution, Seq("conv_id"), "full_outer")
+      .join(anchors, Seq("conv_id"), "full_outer")
+      .na.fill(0.0)
+      // weighted 1-10: validity 3, connectivity 3, resolution 2, anchors 2
+      .withColumn("quality_score", round(lit(1.0) +
+        col("edge_validity") * 3.0 + col("connectivity") * 3.0 +
+        col("issue_resolution") * 2.0 + col("anchor_quality") * 1.0, 2))
+      .select(col("conv_id"),
+        round(col("edge_validity"), 4).as("edge_validity"),
+        round(col("connectivity"), 4).as("connectivity"),
+        round(col("issue_resolution"), 4).as("issue_resolution"),
+        round(col("anchor_quality"), 4).as("anchor_quality"),
+        col("quality_score"))
+  }
+}

@@ -131,4 +131,35 @@ object Materializer {
   /** Read a materialized table (bucket-partitioned parquet). */
   def read(spark: SparkSession, root: String, table: String): DataFrame =
     spark.read.parquet(s"$root/$table")
+
+  /** Stats reconstruction (run_iltur.py:625-668): when the snapshot log is
+    * lost or partial, re-derive per-bucket lineage (counts + content hash)
+    * from the materialized tables themselves and commit a fresh snapshot
+    * covering every bucket found on disk. Returns the new snapshot. */
+  def reconstructStats(spark: SparkSession, root: String): Snapshot = {
+    val summaries = read(spark, root, "summaries")
+    val lineageAgg = summaries.groupBy(col("bucket")).agg(
+      count(lit(1)).as("convs"), sum(col("nTurns")).as("input_rows"),
+      sum(col("nFacts")).as("facts"), sum(col("nConcepts")).as("concepts"),
+      sum(col("nIssues")).as("issues"), sum(col("nArguments")).as("arguments"),
+      sum(col("nHoldings")).as("holdings"), sum(col("nPrecedents")).as("precedents"),
+      sum(col("nEdges")).as("edges"), sum(col("nChains")).as("chains"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val hashByBucket = read(spark, root, "triples")
+      .withColumn("rh", xxhash64(concat_ws("|",
+        col("convId"), col("subj"), col("pred"), col("obj"))))
+      .groupBy(col("bucket")).agg(expr("bit_xor(rh)").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val lineage = lineageAgg.keys.toList.sorted.map { b =>
+      val r = lineageAgg(b)
+      BucketLineage(b, "reconstruct", r.getAs[Long]("input_rows"),
+        Map("convs" -> r.getAs[Long]("convs"), "edges" -> r.getAs[Long]("edges")),
+        Map("facts" -> r.getAs[Long]("facts"), "concepts" -> r.getAs[Long]("concepts"),
+          "issues" -> r.getAs[Long]("issues"), "arguments" -> r.getAs[Long]("arguments"),
+          "holdings" -> r.getAs[Long]("holdings"), "precedents" -> r.getAs[Long]("precedents"),
+          "chains" -> r.getAs[Long]("chains")),
+        java.lang.Long.toHexString(hashByBucket.getOrElse(b, 0L)))
+    }
+    new SnapshotStore(root).commit(lineage)
+  }
 }

@@ -138,6 +138,36 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ct.select("subj").collect().map(_.getString(0)).exists(_.startsWith("concept:")))
   }
 
+  test("quality scores are in [1,10] and edge validity is 1.0 post-repair") {
+    val df = transcriptsDF(25)
+    val nodes = KgPipeline.nodesDirect(spark, df).toDF()
+    val edges = KgPipeline.edgesDirect(spark, df).toDF()
+    val q = graft.kg.query.GraphQuality.score(nodes, edges).collect()
+    assert(q.nonEmpty)
+    for (r <- q) {
+      val sc = r.getAs[Double]("quality_score")
+      assert(sc >= 1.0 && sc <= 10.0, r.toString)
+      assert(r.getAs[Double]("edge_validity") == 1.0, r.toString)
+      assert(r.getAs[Double]("anchor_quality") > 0.5)
+    }
+  }
+
+  test("stats reconstruction recreates lineage from the tables alone") {
+    val root = Files.createTempDirectory("graft_reconstruct").toString
+    Materializer.run(spark, transcriptsDF(30), root, nBuckets = 4)
+    val orig = new SnapshotStore(root).snapshots.head
+    // simulate total log loss
+    import scala.jdk.CollectionConverters._
+    Files.list(java.nio.file.Paths.get(root, "_graft_log")).iterator().asScala
+      .foreach(Files.delete)
+    assert(new SnapshotStore(root).snapshots.isEmpty)
+    val rebuilt = Materializer.reconstructStats(spark, root)
+    assert(rebuilt.buckets.toSet == orig.buckets.toSet)
+    val origHashes = orig.lineage.map(l => l.bucket -> l.contentHash).toMap
+    for (l <- rebuilt.lineage if l.inputRows > 0)
+      assert(l.contentHash == origHashes(l.bucket), s"bucket ${l.bucket}")
+  }
+
   test("materialized triples equal the direct-path triples") {
     val root = Files.createTempDirectory("graft_eq").toString
     val df = transcriptsDF(30)
