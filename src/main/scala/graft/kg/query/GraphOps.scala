@@ -96,6 +96,26 @@ object GraphOps {
       .select(col("conv_id"), col("holding_id"))
   }
 
+  /** Counterfactual with OUTCOME propagation (extractor.py:4430-4460): the
+    * outcome is affected when every holding carrying a DETERMINES edge into
+    * it becomes unsupported by the removal. Returns
+    * (conv_id, outcome_affected, broken_holdings). */
+  def counterfactualOutcome(
+      nodes: DataFrame, edges: DataFrame, js: DataFrame,
+      removedNodeId: String): DataFrame = {
+    val broken = counterfactual(nodes, edges, js, removedNodeId)
+      .withColumn("is_broken", lit(true))
+    val determines = edges.filter(col("relation") === "determines")
+      .select(col("convId").as("conv_id"), col("source").as("holding_id"))
+    determines
+      .join(broken.withColumnRenamed("holding_id", "holding_id"),
+        Seq("conv_id", "holding_id"), "left")
+      .groupBy(col("conv_id"))
+      .agg(
+        bool_and(coalesce(col("is_broken"), lit(false))).as("outcome_affected"),
+        sort_array(collect_list(when(col("is_broken"), col("holding_id")))).as("broken_holdings"))
+  }
+
   /** Forward BFS reachability (trace_reasoning_path analog,
     * schema_v2_1.py:890-910), bounded iterative frontier⨝edges joins —
     * per-conversation graphs are small, depth ≤ maxDepth. */

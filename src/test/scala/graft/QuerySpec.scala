@@ -112,6 +112,27 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(notBroken.isEmpty)
   }
 
+  test("counterfactual outcome propagation") {
+    val n = Seq(
+      ("c0", "f1", "fact"), ("c0", "h1", "holding"), ("c0", "h2", "holding"),
+      ("c0", "outcome", "outcome")).toDF("convId", "id", "nodeType")
+    val e = Seq(
+      ("c0", "e1", "f1", "h1", "supports", Seq("js1")),
+      ("c0", "e2", "f1", "h2", "supports", Seq("js2")),
+      ("c0", "e3", "h1", "outcome", "determines", Seq.empty[String]),
+      ("c0", "e4", "h2", "outcome", "determines", Seq.empty[String])
+    ).toDF("convId", "id", "source", "target", "relation", "supportGroupIds")
+    val j = Seq(("c0", "js1", "h1", "and", true), ("c0", "js2", "h2", "and", true))
+      .toDF("convId", "id", "targetId", "logic", "isPrimary")
+    // removing f1 breaks BOTH determining holdings → outcome affected
+    val out = GraphOps.counterfactualOutcome(n, e, j, "f1").collect()
+    assert(out.length == 1 && out.head.getAs[Boolean]("outcome_affected"))
+    assert(out.head.getSeq[String](2) == Seq("h1", "h2"))
+    // removing nothing relevant → not affected
+    val out2 = GraphOps.counterfactualOutcome(n, e, j, "f999").collect()
+    assert(out2.length == 1 && !out2.head.getAs[Boolean]("outcome_affected"))
+  }
+
   test("rank metrics: perfect ranking scores 1.0, inverted scores less") {
     import graft.kg.eval.RankMetrics
     val qrels = Seq(("q1", "d1", 2), ("q1", "d2", 1)).toDF("query_id", "doc_id", "rel")
