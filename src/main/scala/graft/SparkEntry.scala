@@ -244,10 +244,10 @@ object SparkEntry {
     // --- C7 commons tally: id-set intersection of two corpora ---
     "q26_commons_tally" -> ((s, dir) => {
       val early = pq(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1995-01-01"))
+        .filter(col("o_orderdate") < lit("1996-01-01"))
         .select(col("o_custkey").as("custkey")).distinct()
       val late = pq(s, dir, "orders")
-        .filter(col("o_orderdate") >= lit("1997-01-01"))
+        .filter(col("o_orderdate") >= lit("1996-01-01"))
         .select(col("o_custkey").as("custkey")).distinct()
       early.intersect(late).orderBy(col("custkey"))
     }),
@@ -438,9 +438,9 @@ object SparkEntry {
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
          FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""",
     "q26_commons_tally" ->
-      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < '1995-01-01'
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < '1996-01-01'
          INTERSECT
-         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate >= '1997-01-01'
+         SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate >= '1996-01-01'
          ORDER BY custkey""",
     "q24_bm25" ->
       """WITH tf AS (
