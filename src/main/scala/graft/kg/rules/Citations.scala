@@ -90,11 +90,52 @@ object Citations {
   private val PrecedingNameRe = Pattern.compile(
     s"""($EchrNameFrag(?:\\s+$EchrNameFrag)*)\\s+v(?:s?)\\.?\\s+((?:the\\s+)?$EchrNameFrag(?:\\s+(?:of\\s+)?$EchrNameFrag)*)[,\\s]*$$""")
 
+  /** Merged [digit−R, digit+R] windows over the text. Every IN/TR citation
+    * pattern REQUIRES a digit inside the match and matches are far shorter
+    * than R, so scanning only these windows is exact while skipping the
+    * digit-free bulk of running text (regex backtracking was the extraction
+    * profile's top cost). */
+  private def digitWindows(text: String, radius: Int = 200): List[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c >= '0' && c <= '9') {
+        val ws = math.max(0, i - radius)
+        val we = math.min(n, i + radius)
+        if (out.nonEmpty && out.last._2 >= ws) {
+          val (ps, _) = out.remove(out.length - 1)
+          out += ((ps, we))
+        } else out += ((ws, we))
+      }
+      i += 1
+    }
+    out.toList
+  }
+
   /** Scan text for citation hits with offsets, then dedupe overlapping spans
     * keeping the longest (sort by (start, -len), greedy sweep). */
   def extract(text: String, jurisdiction: String): List[CitationHit] = {
     val pats = patternsFor(jurisdiction)
     if (text == null || text.isEmpty || pats.isEmpty) return Nil
+    // ECHR has digit-free patterns (Name v. Name) → full scan; IN/TR patterns
+    // all require digits → digit-window scan (exact, see digitWindows)
+    val j = jurisdiction.toLowerCase.trim
+    if (j == "echr") extractFull(text, pats)
+    else {
+      val raw = ArrayBuffer.empty[CitationHit]
+      val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
+      for ((ws, we) <- digitWindows(text); hit <- extractFull(text.substring(ws, we), pats)) {
+        val shifted = hit.copy(startChar = hit.startChar + ws, endChar = hit.endChar + ws)
+        val key = (shifted.startChar, shifted.endChar, shifted.citationType)
+        if (!seen.contains(key)) { seen += key; raw += shifted }
+      }
+      dedupeOverlapping(raw.toList)
+    }
+  }
+
+  private def extractFull(text: String, pats: List[(Pattern, String)]): List[CitationHit] = {
     val raw = ArrayBuffer.empty[CitationHit]
     for ((pat, ctype) <- pats) {
       val m = pat.matcher(text)

@@ -154,10 +154,24 @@ object Normalize {
     }
   }
 
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def toHex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexChars(b >>> 4)
+      out(i * 2 + 1) = HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** sha256 hex digest (full). */
   def sha256Hex(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    toHex(md.digest(s.getBytes("UTF-8")))
   }
 
   /** Document id: "sha256:" + first 12 hex chars (extractor.py:4488). */
@@ -169,6 +183,6 @@ object Normalize {
   /** sha1 hex digest, used for deterministic edge-id tags (extractor.py:4778). */
   def sha1Hex8(s: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-1")
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    toHex(md.digest(s.getBytes("UTF-8"))).take(8)
   }
 }

@@ -88,6 +88,38 @@ object TextProps extends Properties("graft.text") {
         .forall(out.contains)
     }
 
+  private val legalDocGen: Gen[String] = {
+    val frags = Gen.oneOf(
+      "As held in Maneka Gandhi v. Union of India, AIR 1978 SC 597, ",
+      "see (2017) 9 SCC 1 and MANU/SC/0133/1978; ",
+      "W.P.(C) No. 567 of 2020 was filed. ",
+      "no digits in this clause at all, plain prose. ",
+      "Section 302 IPC applies. ",
+      "5237 sayili Kanun uyarinca E. 2018/123, K. 2019/456. ",
+      "a very long digit-free stretch of ordinary language follows here. ")
+    Gen.nonEmptyListOf(frags).map(_.mkString)
+  }
+
+  property("digit-window citation scan equals full scan (in/tr)") =
+    Prop.forAll(legalDocGen, Gen.oneOf("in", "tr")) { (doc, j) =>
+      val windowed = Citations.extract(doc, j)
+      // reference: brute-force over the whole text via a 1-window radius
+      // covering everything (radius >= doc length forces a single window)
+      val full = Citations.extract("0" + doc, j) // keep impl honest separately
+      // direct comparison: run the pattern list manually
+      val pats = Citations.patternsFor(j)
+      val manual = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[CitationHit]
+        for ((pat, ctype) <- pats) {
+          val m = pat.matcher(doc)
+          while (m.find()) buf += CitationHit(m.group(0).trim, m.start(), m.end(), ctype, None, None)
+        }
+        Citations.dedupeOverlapping(buf.toList)
+      }
+      windowed.map(h => (h.startChar, h.endChar, h.citationType)) ==
+        manual.map(h => (h.startChar, h.endChar, h.citationType))
+    }
+
   property("turkish lower is idempotent") =
     Prop.forAll(Gen.asciiPrintableStr, Gen.oneOf("İIŞÇÖÜĞıişçöüğ", "")) { (s, tr) =>
       val x = s + tr
