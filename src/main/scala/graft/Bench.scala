@@ -94,10 +94,10 @@ object Bench {
     val prep = session(highCores)
     val (nConvs, transcriptsPath) = {
       import prep.implicits._
-      // 4 conversations per document row: enough work that per-job fixed
-      // overhead (~1-2 s) stays <5% of the 8-core run at sf0.1
+      // 3 conversations per document row: enough work that the canonicalize
+      // stage's fixed per-job latency stays <10% of the 2-core run at sf0.1
       val nDocs = prep.read.parquet(s"$sfDir/documents.parquet").count()
-      val n = math.max(400, nDocs.toInt * 2)
+      val n = math.max(600, nDocs.toInt * 3)
       val path = s"/tmp/graft_bench_transcripts40_$n"
       if (!new java.io.File(path + "/_SUCCESS").exists()) {
         TranscriptGen.turns(n, 40).toDF()
