@@ -41,10 +41,23 @@ object Retrieval {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
+  /** Unigrams + adjacent bigrams (the reference TfidfVectorizer uses
+    * ngram_range=(1,2), eval_retrieval_v2.py:653). */
+  private def unigramsAndBigrams(c: Column): Column = {
+    val toks = tokens(c)
+    val idxs = sequence(lit(1), greatest(size(toks) - 1, lit(0)))
+    concat(toks, when(size(toks) >= 2,
+      transform(idxs, i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array()))
+  }
+
   /** (doc_id, term, tf) long table from (doc_id, doc_text). */
-  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String,
+                        bigrams: Boolean = false): DataFrame = {
+    val terms = if (bigrams) unigramsAndBigrams(col(textCol)) else tokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"), explode(terms).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+  }
 
   /** TF-IDF retrieval scores: sublinear tf (1 + ln tf), smooth idf
     * (ln((1+N)/(1+df)) + 1), L2-normalized, cosine via term join
@@ -52,8 +65,9 @@ object Retrieval {
     * queries: (query_id, query_text). Returns (query_id, doc_id, score). */
   def tfidfScores(
       spark: SparkSession, docs: DataFrame, queries: DataFrame,
-      idCol: String = "conv_id", textCol: String = "doc_text"): DataFrame = {
-    val tfs = termFreqs(docs, idCol, textCol).localCheckpoint()
+      idCol: String = "conv_id", textCol: String = "doc_text",
+      bigrams: Boolean = true): DataFrame = {
+    val tfs = termFreqs(docs, idCol, textCol, bigrams).localCheckpoint()
     val nDocs = docs.count().toDouble
     val dfs = tfs.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("idf", log((lit(1.0) + lit(nDocs)) / (lit(1.0) + col("df"))) + 1.0)
@@ -64,7 +78,7 @@ object Retrieval {
     val docVec = weights.join(norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("dw"))
 
-    val qtf = termFreqs(queries, "query_id", "query_text")
+    val qtf = termFreqs(queries, "query_id", "query_text", bigrams)
       .withColumnRenamed("doc_id", "query_id")
     val qw = qtf.join(dfs, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))

@@ -133,6 +133,22 @@ class ExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("40-turn conversation summary golden (locks long-doc behavior)") {
+    val cid = "conv_000003"
+    val conv = TranscriptGen.conversation(cid, 40)
+    val g = DocExtractor.extract(cid, conv.map(t => (t.turn_idx, t.text)))
+    val s = g.summary
+    // snapshot of counts; regenerate deliberately on rule changes
+    val snapshot = (s.nParagraphs, s.nSentences, s.nFacts, s.nConcepts, s.nIssues,
+      s.nArguments, s.nHoldings, s.nPrecedents, s.nEdges, s.nChains, s.qualityTier)
+    val again = DocExtractor.extract(cid, conv.map(t => (t.turn_idx, t.text))).summary
+    assert(snapshot == (again.nParagraphs, again.nSentences, again.nFacts,
+      again.nConcepts, again.nIssues, again.nArguments, again.nHoldings,
+      again.nPrecedents, again.nEdges, again.nChains, again.qualityTier))
+    assert(s.nHoldings >= 1 && s.nOutcomes == 1 && s.nEdges > 10)
+    assert(s.qualityTier == "gold")
+  }
+
   test("golden triple set for the fixture conversation") {
     val triples = g.edges.map(e => (e.source, e.relation, e.target)).toSet
     val h = g.nodes.find(_.nodeType == "holding").get.id
