@@ -168,6 +168,27 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(l.contentHash == origHashes(l.bucket), s"bucket ${l.bucket}")
   }
 
+  test("GraphStore point lookups prune to one bucket partition") {
+    val root = Files.createTempDirectory("graft_store").toString
+    Materializer.run(spark, transcriptsDF(40), root, nBuckets = 8)
+    val store = new graft.kg.table.GraphStore(spark, root, nBuckets = 8)
+    val convId = "conv_000005"
+    val n = store.nodes(convId)
+    assert(n.count() > 0)
+    assert(n.select("convId").distinct().collect().map(_.getString(0)).toSeq == Seq(convId))
+    // partition pruning: the physical plan carries a bucket partition filter
+    val plan = n.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(800))
+    // the facade graph ops work on the pruned slices
+    assert(store.holdingSupport(convId).count() >= 1)
+    assert(store.tierHistogram().count() >= 1)
+    val h = store.nodes(convId).filter(col("nodeType") === "holding")
+      .select("id").first().getString(0)
+    // removing the holding itself breaks nothing upstream (it IS the target)
+    assert(store.counterfactual(convId, "f1").columns.toSeq ==
+      Seq("conv_id", "holding_id"))
+  }
+
   test("materialized triples equal the direct-path triples") {
     val root = Files.createTempDirectory("graft_eq").toString
     val df = transcriptsDF(30)
