@@ -219,6 +219,13 @@ object SparkEntry {
       graft.data.Similarity.cosineNearDupPairs(planted, dim = 64, threshold = 0.999, bits = 8)
         .orderBy(col("a"), col("b"))
     }),
+    "q27_embedding_dedup" -> ((s, dir) => {
+      val e = pq(s, dir, "embeddings")
+      val planted = e.unionByName(
+        e.limit(20).withColumn("vec_id", col("vec_id") + 1000000))
+      graft.data.Similarity.embeddingDedup(s, planted, dim = 64, threshold = 0.999, bits = 8)
+        .orderBy(col("vec_id"))
+    }),
     "q21_lang_id" -> ((s, dir) => {
       pq(s, dir, "documents")
         .select(col("doc_id"), graft.data.TextAnalysis.langId(col("text")).as("pred_lang"))

@@ -96,19 +96,32 @@ object Dedup {
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Numeric-id canonical mapping from (a, b) near-dup pairs: connected
+    * components run on STRING labels (lexicographic min), so the canonical id
+    * is re-selected as the NUMERIC min of each component afterwards
+    * ("100002" < "2" lexicographically would otherwise win). */
+  private[graft] def numericCanonical(
+      spark: SparkSession, allIds: DataFrame, pairs: DataFrame): DataFrame = {
+    val comps = ConnectedComponents.runAuto(spark,
+      pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
+    val canon = comps.groupBy(col("component"))
+      .agg(min(col("id").cast("long")).as("canonical_id"))
+    allIds.select(col("id").cast("string").as("id"))
+      .join(comps, Seq("id"), "left")
+      .join(canon, Seq("component"), "left")
+      .select(col("id").cast("long").as("id"),
+        coalesce(col("canonical_id"), col("id").cast("long")).as("canonical_id"))
+  }
+
   /** Full minhash-LSH dedup: every id → canonical id (connected components
-    * over verified near-dup pairs; min-id labels). */
+    * over verified near-dup pairs; numeric-min canonical). */
   def minhashDedup(
       spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k)
     val pairs = minhashPairs(sigs, idCol, k, bands, threshold)
-    val comps = ConnectedComponents.runAuto(spark,
-      pairs.select(col("a").cast("string").as("src"), col("b").cast("string").as("dst")))
-    df.select(col(idCol).cast("string").as("id"))
-      .join(comps, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("component"), col("id")).as("canonical_id"))
+    numericCanonical(spark, df.select(col(idCol).as("id")), pairs)
+      .withColumnRenamed("id", idCol)
   }
 
   /** Exact n-gram Jaccard for given candidate pairs (a, b) against the

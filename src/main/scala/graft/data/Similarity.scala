@@ -99,6 +99,16 @@ object Similarity {
     bitCols.reduce(_.bitwiseOR(_))
   }
 
+  /** Embedding near-dup DEDUP: connected components over verified cosine
+    * near-dup pairs → (vec_id, canonical_id), canonical = min id. */
+  def embeddingDedup(
+      spark: SparkSession, base: DataFrame, dim: Int,
+      threshold: Double = 0.95, bits: Int = 12): DataFrame = {
+    val pairs = cosineNearDupPairs(base, dim, threshold, bits)
+    Dedup.numericCanonical(spark, base.select(col("vec_id").as("id")), pairs)
+      .withColumnRenamed("id", "vec_id")
+  }
+
   /** Cosine near-dup pairs: candidates share an LSH bucket, verified with
     * exact cosine ≥ threshold. */
   def cosineNearDupPairs(

@@ -42,10 +42,10 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val far = "completely different content about spark query engines and distributed joins at large scale"
     val df = Seq((1L, base), (2L, near), (3L, far), (4L, base)).toDF("doc_id", "text")
     val m = Dedup.minhashDedup(spark, df, "doc_id", "text", k = 64, bands = 16, threshold = 0.5)
-      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(m("1") == m("2"), m.toString) // near-dup merged
-    assert(m("1") == m("4"), m.toString) // exact dup merged
-    assert(m("3") == "3", m.toString)    // distinct doc stands alone
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L), m.toString) // near-dup merged
+    assert(m(1L) == m(4L), m.toString) // exact dup merged
+    assert(m(3L) == 3L, m.toString)    // distinct doc stands alone
   }
 
   test("exact jaccard on candidate pairs") {
@@ -104,6 +104,15 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pairs = Similarity.cosineNearDupPairs(base, dim = 64, threshold = 0.999, bits = 8)
     val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((0 until 10).forall(i => found.contains((i.toLong, i + 100000L))), found.toString)
+  }
+
+  test("embedding dedup maps planted duplicates to canonical min id") {
+    val dup = embs.limit(10).withColumn("vec_id", col("vec_id") + 100000)
+    val base = embs.limit(200).union(dup)
+    val m = Similarity.embeddingDedup(spark, base, dim = 64, threshold = 0.999, bits = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 10) assert(m(i + 100000L) == i.toLong, s"dup $i")
+    assert(m(150L) == 150L) // non-dup keeps itself
   }
 
   test("langId classifies per-language fixture sentences") {
