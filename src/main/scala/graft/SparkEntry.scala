@@ -248,6 +248,20 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // --- token-set Jaccard between adjacent docs (J8 scorer, exact) ---
+    "q28_token_jaccard" -> ((s, dir) => {
+      val toks = pq(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("toks"))
+      val a = toks.select(col("doc_id").as("a"), col("toks").as("ta"))
+      val b = toks.select(col("doc_id").as("b"), col("toks").as("tb"))
+      a.join(b, col("a") + 1 === col("b"))
+        .select(col("a"), col("b"),
+          round(size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))), 6).as("jaccard"))
+        .orderBy(col("a"))
+    }),
+
     // --- C7 commons tally: id-set intersection of two corpora ---
     "q26_commons_tally" -> ((s, dir) => {
       val early = pq(s, dir, "orders")
@@ -444,6 +458,15 @@ object SparkEntry {
          SELECT query_id, vec_id, round(c, 6) AS cosine,
            row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank
          FROM scored QUALIFY rank <= 5 ORDER BY query_id, rank""",
+    "q28_token_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks
+           FROM documents)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                 len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+         FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
+         ORDER BY a""",
     "q26_commons_tally" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < '1996-01-01'
          INTERSECT
