@@ -191,38 +191,45 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // --- dedup family (rows-only: no SQL expression of minhash/simhash) ---
+    // --- dedup family (planted duplicates are DETERMINISTIC — filter on id,
+    //     never limit() — so DuckDB oracles can reconstruct them) ---
     "q17_minhash_dedup" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
-      graft.data.Dedup.minhashDedup(s, d, "doc_id", "text", threshold = 0.5)
+      val planted = d.unionByName(
+        d.filter(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 1000000))
+      graft.data.Dedup.minhashDedupVerified(s, planted, "doc_id", "text", threshold = 0.5)
         .orderBy(col("doc_id"))
     }),
     "q18_simhash_pairs" -> ((s, dir) => {
       // plant shifted duplicates so the operator has work at every sf
       val d = pq(s, dir, "documents")
       val planted = d.unionByName(
-        d.limit(20).withColumn("doc_id", col("doc_id") + 1000000))
+        d.filter(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 1000000))
       graft.data.Dedup.simhashPairs(planted, "doc_id", "text", maxHamming = 3)
         .orderBy(col("a"), col("b"))
     }),
     "q19_fingerprint_pairs" -> ((s, dir) => {
       val d = pq(s, dir, "documents")
       val planted = d.unionByName(
-        d.limit(20).withColumn("doc_id", col("doc_id") + 1000000))
+        d.filter(col("doc_id") < 20).withColumn("doc_id", col("doc_id") + 1000000))
       graft.data.TextAnalysis.fingerprintPairs(planted, "doc_id", "text", minShared = 20)
         .orderBy(col("a"), col("b"))
     }),
     "q20_cosine_near_dup" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val planted = e.unionByName(
-        e.limit(20).withColumn("vec_id", col("vec_id") + 1000000))
+        e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000))
       graft.data.Similarity.cosineNearDupPairs(planted, dim = 64, threshold = 0.999, bits = 8)
         .orderBy(col("a"), col("b"))
     }),
     "q27_embedding_dedup" -> ((s, dir) => {
       val e = pq(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val planted = e.unionByName(
-        e.limit(20).withColumn("vec_id", col("vec_id") + 1000000))
+        e.filter(col("vec_id") < 20).withColumn("vec_id", col("vec_id") + 1000000))
       graft.data.Similarity.embeddingDedup(s, planted, dim = 64, threshold = 0.999, bits = 8)
         .orderBy(col("vec_id"))
     }),
@@ -312,10 +319,17 @@ object SparkEntry {
     "kg_holding_support" -> ((s, dir) => {
       val t = transcripts(s, dir)
       implicit val e = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
+      // array columns stringified (sorted upstream) — the driver's pandas
+      // comparator cannot sort_values on numpy arrays
       graft.kg.query.GraphOps.holdingSupport(
         KgPipeline.nodesDirect(s, t).toDF(),
         KgPipeline.edgesDirect(s, t).toDF(),
         KgPipeline.flatExtract(s, t)(_.justificationSets).toDF())
+        .select(col("conv_id"), col("holding_id"),
+          concat_ws(",", col("grounding_concepts")).as("grounding_concepts"),
+          concat_ws(",", col("supporting_facts")).as("supporting_facts"),
+          concat_ws(",", coalesce(col("justification_sets"),
+            array().cast("array<string>"))).as("justification_sets"))
         .orderBy(col("conv_id"), col("holding_id"))
     }),
     "kg_triples" -> ((s, dir) => {
@@ -472,6 +486,136 @@ object SparkEntry {
          INTERSECT
          SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate >= '1996-01-01'
          ORDER BY custkey""",
+    "q17_minhash_dedup" ->
+      // independent brute-force route: all-pairs exact 3-gram-shingle Jaccard
+      // (the Spark side's LSH candidates + exact verify must find the same
+      // pairs), then recursive min-label propagation for the canonical map
+      """WITH RECURSIVE planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct([array_to_string(toks[i:i+2], ' ')
+                              for i in generate_series(1, len(toks)-2)])
+             ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM (SELECT doc_id, string_split_regex(lower(text), '\W+') AS toks
+                 FROM planted)),
+         pairs AS (
+           SELECT a.doc_id AS src, b.doc_id AS dst
+           FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         walk(id, lbl) AS (
+           SELECT doc_id, doc_id FROM planted
+           UNION
+           SELECT p.dst, w.lbl FROM walk w JOIN pairs p ON p.src = w.id)
+         SELECT id AS doc_id, min(lbl) AS canonical_id
+         FROM walk GROUP BY id ORDER BY doc_id""",
+    "q20_cosine_near_dup" ->
+      // independent brute-force route: all-pairs exact cosine (520² is cheap
+      // in DuckDB); the Spark side's LSH buckets must find the same pairs
+      """WITH base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id < 20)
+         SELECT a.vec_id AS a, b.vec_id AS b,
+           round(list_cosine_similarity(a.e, b.e), 6) AS cosine
+         FROM base a JOIN base b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.e, b.e) >= 0.999
+         ORDER BY a, b""",
+    "q27_embedding_dedup" ->
+      // recursive min-label propagation over the brute-force pair graph
+      """WITH RECURSIVE base AS (
+           SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding::DOUBLE[] AS e
+           FROM embeddings WHERE vec_id < 20),
+         pairs AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM base a JOIN base b
+             ON a.vec_id <> b.vec_id
+            AND list_cosine_similarity(a.e, b.e) >= 0.999),
+         walk(id, lbl) AS (
+           SELECT vec_id, vec_id FROM base
+           UNION
+           SELECT p.dst, w.lbl FROM walk w JOIN pairs p ON p.src = w.id)
+         SELECT id AS vec_id, min(lbl) AS canonical_id
+         FROM walk GROUP BY id ORDER BY vec_id""",
+    "q21_lang_id" ->
+      // mirrors TextAnalysis.langId: per-profile score = 1000×(distinct
+      // profile words present) + total profile-word token count; argmax with
+      // ties to the lexicographically greatest language; CJK short-circuit
+      """WITH t AS (
+           SELECT doc_id,
+             string_split_regex(lower(text), '\W+') AS toks,
+             regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk
+           FROM documents),
+         s AS (
+           SELECT doc_id, cjk,
+             len(list_intersect(toks, ['the','and','of','to','is','that','for','with']))*1000
+               + len(list_filter(toks, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+             len(list_intersect(toks, ['le','la','les','et','des','une','est','que']))*1000
+               + len(list_filter(toks, x -> list_contains(['le','la','les','et','des','une','est','que'], x))) AS s_fr,
+             len(list_intersect(toks, ['el','la','los','las','que','por','con','una']))*1000
+               + len(list_filter(toks, x -> list_contains(['el','la','los','las','que','por','con','una'], x))) AS s_es,
+             len(list_intersect(toks, ['der','die','das','und','ist','nicht','mit','ein']))*1000
+               + len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN cjk THEN 'zh'
+                WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                WHEN s_en >= s_de THEN 'en'
+                ELSE 'de' END AS pred_lang
+         FROM s ORDER BY doc_id""",
+    "q25_tfidf_topk" ->
+      // mirrors Retrieval.tfidfScores: 1-2 grams, sublinear tf (1+ln tf),
+      // smooth idf (ln((1+N)/(1+df))+1), L2 norms both sides, cosine by
+      // term join; query terms missing from the corpus drop out pre-norm
+      """WITH dt AS (
+           SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS t
+           FROM documents),
+         uni AS (SELECT id, unnest(t) AS term FROM dt),
+         bii AS (SELECT id, t, unnest(generate_series(1, len(t)-1)) AS i
+                 FROM dt WHERE len(t) >= 2),
+         bi AS (SELECT id, t[i] || ' ' || t[i+1] AS term FROM bii),
+         allt AS (SELECT id, term FROM uni UNION ALL SELECT id, term FROM bi),
+         tf AS (SELECT id AS doc_id, term, count(*) AS tf FROM allt GROUP BY 1, 2),
+         nd AS (SELECT count(*) AS n FROM documents),
+         dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+         w AS (SELECT doc_id, term,
+                 (1.0 + ln(tf)) * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+               FROM tf JOIN dfs USING(term), nd),
+         nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY doc_id),
+         dvec AS (SELECT doc_id, term, w / nrm AS dw FROM w JOIN nrm USING(doc_id)),
+         q AS (SELECT * FROM (VALUES (0, 'spark join merge'),
+               (1, 'window filter scan')) AS v(query_id, qt)),
+         qdt AS (SELECT query_id,
+                   list_filter(string_split_regex(lower(qt), '\W+'), x -> len(x) > 0) AS t
+                 FROM q),
+         quni AS (SELECT query_id, unnest(t) AS term FROM qdt),
+         qbii AS (SELECT query_id, t, unnest(generate_series(1, len(t)-1)) AS i
+                  FROM qdt WHERE len(t) >= 2),
+         qbi AS (SELECT query_id, t[i] || ' ' || t[i+1] AS term FROM qbii),
+         qallt AS (SELECT query_id, term FROM quni
+                   UNION ALL SELECT query_id, term FROM qbi),
+         qtf AS (SELECT query_id, term, count(*) AS tf FROM qallt GROUP BY 1, 2),
+         qw AS (SELECT query_id, term,
+                  (1.0 + ln(tf)) * (ln((1.0 + n) / (1.0 + df)) + 1.0) AS w
+                FROM qtf JOIN dfs USING(term), nd),
+         qnrm AS (SELECT query_id, sqrt(sum(w*w)) AS qn FROM qw GROUP BY query_id),
+         qvec AS (SELECT query_id, term, w / qn AS qw FROM qw JOIN qnrm USING(query_id)),
+         scores AS (SELECT query_id, doc_id, round(sum(qw * dw), 6) AS score
+                    FROM qvec JOIN dvec USING(term) GROUP BY 1, 2)
+         SELECT query_id, doc_id, score, rank FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+           FROM scores) WHERE rank <= 10
+         ORDER BY query_id, rank""",
     "q24_bm25" ->
       """WITH tf AS (
            SELECT doc_id, term, count(*) AS tf FROM (

@@ -124,6 +124,27 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Minhash-LSH dedup with EXACT shingle-Jaccard verification: recall-tuned
+    * banding (r = k/bands small ⇒ candidate prob J^r high near the
+    * threshold) generates candidates, exact n-gram Jaccard decides. Unlike
+    * the estimate-verified variant, the output is a pure function of the
+    * texts — reproducible by a brute-force all-pairs oracle — while the scan
+    * stays LSH-bounded (miss prob at J = 0.5 with r = 2, 32 bands:
+    * (1 - 0.25)^32 ≈ 1e-4). */
+  def minhashDedupVerified(
+      spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 32, threshold: Double = 0.5,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
+    val cand = minhashPairs(sigs, idCol, k, bands, threshold = 0.0)
+      .select(col("a"), col("b"))
+    val verified = exactJaccard(cand, df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"))
+    numericCanonical(spark, df.select(col(idCol).as("id")), verified)
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Exact n-gram Jaccard for given candidate pairs (a, b) against the
     * original texts. */
   def exactJaccard(
@@ -170,17 +191,28 @@ object Dedup {
 
   /** Near-dup pairs with hamming distance ≤ maxHamming, candidates from
     * equal 16-bit quarters (any one equal quarter ⇒ candidate; exact for
-    * maxHamming ≤ 3 by pigeonhole). */
+    * maxHamming ≤ 3 by pigeonhole — except inside capped hot buckets).
+    *
+    * Scale guard: a bare 16-bit quarter gives only 65,536 buckets per band,
+    * so at N docs each bucket holds ~N/65k members and the self-join emits
+    * ~N²/65k candidate rows. Buckets are therefore capped at `maxBucketSize`
+    * members (deterministic min-id ranking, same pattern as minhashPairs);
+    * a hot bucket usually means boilerplate text whose pairs are found via
+    * its other three quarters anyway. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucketSize: Int = 256): DataFrame = {
     val sh = simhashes(df, idCol, textCol)
     val quarters = sh.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until 4).map(q =>
         struct(lit(q).as("q"),
           shiftrightunsigned(col("simhash"), q * 16).bitwiseAND(lit(0xFFFFL)).as("qh"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.q"), col("bk.qh"))
-    val a = quarters.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("ha"))
-    val b = quarters.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("hb"))
+    val ranked = quarters.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q"), col("qh")).orderBy(col("id"))))
+      .filter(col("rn") <= maxBucketSize)
+    val a = ranked.select(col("q"), col("qh"), col("id").as("a"), col("simhash").as("ha"))
+    val b = ranked.select(col("q"), col("qh"), col("id").as("b"), col("simhash").as("hb"))
     a.join(b, Seq("q", "qh")).filter(col("a") < col("b"))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= maxHamming)

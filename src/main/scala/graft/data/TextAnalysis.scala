@@ -88,13 +88,30 @@ object TextAnalysis {
     df.select(col(idCol), winnowUdf(col(textCol)).as("fingerprints"))
 
   /** Fingerprint-overlap near-dup pairs: docs sharing ≥ minShared winnowed
-    * hashes (inverted-index join on exploded hashes, never a cross join). */
+    * hashes (inverted-index join on exploded hashes, never a cross join).
+    *
+    * Scale guard: a fingerprint shared by F documents emits F² candidate
+    * rows, so boilerplate fingerprints (high document frequency) are dropped
+    * BEFORE the self-join — they carry no discriminative signal (standard
+    * postings-list pruning). The drop is logged, never silent; true pairs
+    * still share plenty of low-df fingerprints, so planted-duplicate recall
+    * is unaffected (DataOpsSpec). */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
-                       minShared: Int = 10): DataFrame = {
+                       minShared: Int = 10, maxDf: Int = 64): DataFrame = {
     val fp = fingerprints(df, idCol, textCol)
       .select(col(idCol).as("id"), explode(col("fingerprints")).as("fp"))
-    val a = fp.select(col("fp"), col("id").as("a"))
-    val b = fp.select(col("fp"), col("id").as("b"))
+      .localCheckpoint()
+    val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("fp"))
+      .localCheckpoint()
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"fingerprintPairs: dropping $nHot fingerprints with df > $maxDf before pair join")
+    val kept = fp.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = kept.select(col("fp"), col("id").as("a"))
+    val b = kept.select(col("fp"), col("id").as("b"))
     a.join(b, "fp").filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
