@@ -630,91 +630,33 @@ object DocExtractor {
       } else dedupedPreRepair
 
     // ---- Stage 7: justification sets (extractor.py:4194-4276) ---------------
-    val jsRows = ArrayBuffer.empty[JustificationSetRow]
-    val supportGroupsByEdge = mutable.Map.empty[String, ArrayBuffer[String]]
-    var jsCounter = 1
+    // liveClusters preserves creation order (LinkedHashMap), so the
+    // cids-per-holding lists carry the reference's tie-break order
     val holdingClusterIds: Map[String, List[String]] =
       liveClusters.toList.flatMap { case (cid, cl) => cl.members("holding").map(_ -> cid) }
         .groupBy(_._1).map { case (h, l) => h -> l.map(_._2) }
-
-    for (h <- holdings) {
-      val supportEdges = deduped.filter(e =>
-        e.target == h.id && (e.relation == "supports" || e.relation == "grounds"))
-      if (supportEdges.nonEmpty) {
-        val cidOpt = holdingClusterIds.get(h.id).flatMap { cids =>
-          if (cids.isEmpty) None
-          else Some(cids.maxBy { cid =>
-            val cl = liveClusters(cid)
-            ((if (cl.requires.nonEmpty) 1 else 0,
-              cl.members("fact").size + cl.members("concept").size + cl.members("precedent").size), cid)
-          })
-        }
-        val logic = cidOpt.map(liveClusters(_).logic).getOrElse("and")
-        val label = cidOpt.map(c => s"${liveClusters(c).label} support").orNull
-        val jsId = s"js$jsCounter"; jsCounter += 1
-        jsRows += JustificationSetRow(convId, jsId, h.id, logic, label,
-          isPrimary = true, "high")
-        supportEdges.foreach(e =>
-          supportGroupsByEdge.getOrElseUpdate(e.id, ArrayBuffer.empty) += jsId)
-
-        val defeaterEdges = deduped.filter(e => e.target == h.id && e.relation == "undercuts")
-        if (defeaterEdges.nonEmpty) {
-          val djsId = s"js$jsCounter"; jsCounter += 1
-          jsRows += JustificationSetRow(convId, djsId, h.id, "or",
-            s"${Option(label).getOrElse(h.id)} defeaters", isPrimary = false, "medium")
-          defeaterEdges.foreach(e =>
-            supportGroupsByEdge.getOrElseUpdate(e.id, ArrayBuffer.empty) += djsId)
-        }
-      }
+    val clusterPickInfo: String => GraphAssembly.ClusterPick = cid => {
+      val cl = liveClusters(cid)
+      GraphAssembly.ClusterPick(cl.requires.nonEmpty,
+        cl.members("fact").size + cl.members("concept").size + cl.members("precedent").size,
+        cl.logic, cl.label)
     }
+    val (jsRows, supportGroupsByEdge) = GraphAssembly.buildJustificationSets(
+      convId, holdings.map(_.id), deduped, holdingClusterIds, clusterPickInfo)
     val finalEdges = deduped.map(e =>
       supportGroupsByEdge.get(e.id) match {
-        case Some(groups) => e.copy(supportGroupIds = groups.toSeq)
+        case Some(groups) => e.copy(supportGroupIds = groups)
         case None => e
       })
 
     // ---- Stage 8: reasoning chains (extractor.py:4290-4369) -----------------
-    val chains = ArrayBuffer.empty[ChainRow]
     val primaryJsFor: Map[String, String] =
       jsRows.filter(_.isPrimary).map(j => j.targetId -> j.id).toMap
-    val edgesTo: Map[String, Vector[EdgeRow]] = finalEdges.groupBy(_.target)
     val nodeTypeById: Map[String, String] = nodes.map(n => n.id -> n.nodeType).toMap
-
-    for (issue <- issues; holding <- holdings if holding.resolvesIssue == issue.id) {
-      val factIds = ArrayBuffer.empty[String]
-      val conceptIds = ArrayBuffer.empty[String]
-      val argIds = ArrayBuffer.empty[String]
-      val edgeIds = ArrayBuffer.empty[String]
-      val critical = ArrayBuffer.empty[String]
-      val visited = mutable.Set.empty[String]
-      val queue = mutable.Queue(holding.id)
-      while (queue.nonEmpty) {
-        val nid = queue.dequeue()
-        if (!visited.contains(nid)) {
-          visited += nid
-          for (e <- edgesTo.getOrElse(nid, Vector.empty)
-               if !Set("resolves", "determines", "contributes_to").contains(e.relation)) {
-            edgeIds += e.id
-            if (e.isCritical) critical += e.source
-            nodeTypeById.get(e.source) match {
-              case Some("fact") => factIds += e.source
-              case Some("concept") => conceptIds += e.source
-              case Some("argument") => argIds += e.source
-              case _ =>
-            }
-            if (!visited.contains(e.source)) queue += e.source
-          }
-        }
-      }
-      def uniq(xs: ArrayBuffer[String]): Seq[String] = xs.distinct.toSeq
-      val parts = ArrayBuffer(s"Issue ${issue.id} resolved by holding ${holding.id}.")
-      if (factIds.nonEmpty) parts += s"Facts: ${uniq(factIds).mkString(", ")}."
-      if (conceptIds.nonEmpty) parts += s"Concepts: ${uniq(conceptIds).mkString(", ")}."
-      if (argIds.nonEmpty) parts += s"Arguments: ${uniq(argIds).mkString(", ")}."
-      chains += ChainRow(convId, s"rc_${issue.id}_${holding.id}", issue.id, holding.id,
-        uniq(factIds), uniq(conceptIds), uniq(argIds), uniq(edgeIds),
-        primaryJsFor.get(holding.id).orNull, uniq(critical), parts.mkString(" "))
-    }
+    val chains = GraphAssembly.buildChains(
+      convId, issues.map(_.id),
+      holdings.map(h => (h.id, h.resolvesIssue)),
+      finalEdges, primaryJsFor, nodeTypeById)
 
     // ---- Stage 9: validation + tier (extractor.py:4822-4862) ----------------
     val allIds = nodes.map(_.id).toSet ++ jsRows.map(_.id)
@@ -725,21 +667,8 @@ object DocExtractor {
     val dupIds = nodes.groupBy(_.id).filter(_._2.size > 1).keys
     dupIds.foreach(id => warnings += s"duplicate node id: $id")
 
-    val errorPatterns = List("error", "missing", "not found", "duplicate",
-      "requires anchor", "doesn't match", "invalid", "failed", "exceeds")
-    val cosmeticPatterns = List("repaired", "coerced", "normalized", "flipped")
-    val errorCount = warnings.count(w => errorPatterns.exists(w.toLowerCase.contains))
-    val substantive = warnings.count(w =>
-      !errorPatterns.exists(w.toLowerCase.contains) &&
-        !cosmeticPatterns.exists(w.toLowerCase.contains))
-    val hasHoldings = holdings.nonEmpty
-    val hasOutcome = outcome.nonEmpty
-    val hasChains = chains.nonEmpty
-    val tier =
-      if (errorCount == 0 && substantive <= 15 && hasHoldings && hasOutcome && hasChains) "gold"
-      else if (errorCount <= 2 && substantive <= 30 && hasHoldings && hasOutcome) "silver"
-      else if (errorCount <= 5) "bronze"
-      else "reject"
+    val tier = GraphAssembly.computeTier(
+      warnings.toSeq, holdings.nonEmpty, outcome.nonEmpty, chains.nonEmpty)
 
     val allNodes = allNodesPreJs
     val summary = ConvSummary(convId, docId, fullText.length, turns.size,

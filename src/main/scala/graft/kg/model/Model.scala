@@ -33,7 +33,15 @@ final case class Node(
     caseYear: Integer,       // precedents (nullable)
     confidence: String,
     anchor: Anchor,          // nullable
-    method: String           // regex|rule
+    method: String,          // regex|rule
+    // reference-schema fields carried for parity (schema_v2_1.py:263-508);
+    // the v1 rule extractor leaves them null — they are populated when
+    // graphs are loaded from the reference's published JSON format
+    courtFinding: String = null,  // facts: accepted|rejected|not_decided
+    courtResponse: String = null, // arguments: accepted|rejected|not_addressed
+    treatment: String = null,     // precedents: followed|applied|distinguished|cited|…
+    claim: String = null,         // arguments: bare claim text (text may be a composite)
+    schemes: Seq[String] = null   // arguments: ArgumentScheme values (schema_v2_1.py:90-110)
 )
 
 /** One typed edge — the (subj, pred, obj) triple carrier

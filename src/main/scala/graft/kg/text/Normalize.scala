@@ -102,6 +102,27 @@ object Normalize {
   def keywordSet(text: String): Set[String] =
     tokenize(text).iterator.filter(t => t.length >= 4 && !Stopwords.contains(t)).toSet
 
+  /** ASCII word tokens `[a-zA-Z0-9_]+` on the lowered text — the repair
+    * engine's tokenizer (repair_orphans.py:152-154), which is narrower than
+    * the extractor's unicode `\w+`. */
+  def asciiTokenize(text: String): List[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val low = text.toLowerCase(Locale.ROOT)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    val n = low.length
+    def isAscii(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+    while (i < n) {
+      if (isAscii(low.charAt(i))) {
+        val start = i
+        while (i < n && isAscii(low.charAt(i))) i += 1
+        out += low.substring(start, i)
+      } else i += 1
+    }
+    out.toList
+  }
+
   /** Case-insensitive (optionally Turkish-folded) substring test (extractor.py:1124-1129). */
   def containsPhrase(haystack: String, phrase: String, turkish: Boolean = false): Boolean = {
     if (haystack == null || haystack.isEmpty || phrase == null || phrase.isEmpty) false

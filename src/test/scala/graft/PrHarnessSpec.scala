@@ -43,7 +43,7 @@ class PrHarnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumnRenamed("convId", "conv_id")
     val expected = golden.toDF("conv_id", "subj", "pred", "obj")
     val prf = PrEval.prf(actual, expected)
-    assert(prf.nExpected == 102)
+    assert(prf.nExpected == 89)
     assert(prf.precision >= 0.95 && prf.recall >= 0.95,
       s"P=${prf.precision} R=${prf.recall} matched=${prf.nMatched}/${prf.nExpected}")
     assert(prf.precision == 1.0 && prf.recall == 1.0, prf.toString)
