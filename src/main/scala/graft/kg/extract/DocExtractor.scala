@@ -76,14 +76,18 @@ object DocExtractor {
   private val FactCue = cre(
     """\b(?:filed|issued|passed\s+an?\s+order|arrested|convicted|sentenced|terminated|dismissed\s+from\s+service|executed|entered\s+into|served|received|granted|rejected\s+the\s+application|acquired|notified|published|registered|lodged|paid|deposited|awarded)\b""")
 
-  private val ActorCuePairs: List[(String, String)] = List(
-    "appellant" -> "appellant", "petitioner" -> "petitioner",
-    "applicant" -> "petitioner", "plaintiff" -> "petitioner",
-    "respondent" -> "respondent", "defendant" -> "respondent",
-    "state" -> "respondent", "union of india" -> "respondent",
-    "accused" -> "accused", "prosecution" -> "prosecution",
-    "complainant" -> "complainant", "amicus" -> "amicus",
-    "learned counsel" -> "third_party", "intervenor" -> "third_party")
+  /** Surface cues for argument-actor detection: every alias key of the
+    * reference's full actor map (underscores → spaces so multi-word forms
+    * match prose), plus counsel phrasing. The matched RAW cue goes through
+    * Actors.coerceActor, so alias + heuristic coverage equals the
+    * reference's (extractor.py:365-563). Single-letter/ambiguous initials
+    * ("pp") are excluded from surface scanning. */
+  private val ActorCues: List[(String, String)] =
+    (graft.kg.rules.Actors.ActorAliases.keys
+      .filter(k => k.length >= 4 && k != "states") // "states" shadows "state(s)" prose hits
+      .map(k => k.replace('_', ' ') -> k)
+      .toList :+ ("learned counsel" -> "third_party"))
+      .sortBy(_._1)
 
   /** Pattern names (across the IN/ECHR/TR grammars) whose hit marks a
     * holding sentence. */
@@ -286,15 +290,24 @@ object DocExtractor {
       val seg = doc.sentences(i)
       nodes += blankNode(s"i${n + 1}", "issue", seg.text, anchorFor(doc, seg), "high", "rule")
     }
-    // arguments
+    // arguments: actor from the earliest alias-cue occurrence coerced through
+    // the reference's full actor map + heuristics (extractor.py:365-563);
+    // scheme from deterministic cue buckets, normalized to the 19-value enum
     argSents.zipWithIndex.foreach { case (i, n) =>
       val seg = doc.sentences(i)
       val low = sentLower(i)
-      val actor = ActorCuePairs.collectFirst {
-        case (cue, a) if low.contains(cue) => a
-      }.getOrElse("third_party")
+      val cueHit = ActorCues.iterator
+        .map { case (cue, raw) => (low.indexOf(cue), -cue.length, raw) }
+        .filter(_._1 >= 0)
+        .minByOption(h => (h._1, h._2, h._3))
+      val actor = cueHit match {
+        case Some((_, _, raw)) => graft.kg.rules.Actors.coerceActor(raw)
+        case None => "third_party"
+      }
+      val scheme = graft.kg.rules.Actors.coerceScheme(
+        graft.kg.rules.Actors.inferScheme(low))
       nodes += blankNode(s"a${n + 1}", "argument", seg.text, anchorFor(doc, seg), "high", "rule")
-        .copy(actor = actor)
+        .copy(actor = actor, claim = seg.text, schemes = Seq(scheme))
     }
     // holdings
     holdingSents.zipWithIndex.foreach { case (i, n) =>
@@ -670,14 +683,19 @@ object DocExtractor {
     val tier = GraphAssembly.computeTier(
       warnings.toSeq, holdings.nonEmpty, outcome.nonEmpty, chains.nonEmpty)
 
-    val allNodes = allNodesPreJs
+    // stamp provenance (schema_v2_1.py:233-257): method + engine id; no
+    // timestamps (determinism — the reference's canonicalizer nulls them too)
+    def prov(method: String): Provenance =
+      Provenance(method, null, "graft_rule_engine_v1", null, null, null)
+    val allNodes = allNodesPreJs.map(n => n.copy(provenance = prov(n.method)))
+    val stampedEdges = finalEdges.map(e => e.copy(provenance = prov(e.method)))
     val summary = ConvSummary(convId, docId, fullText.length, turns.size,
       doc.paragraphs.size, doc.sentences.size,
       facts.size, conceptNodes.size, issues.size, args.size, holdings.size,
       precedents.size, outcome.size, finalEdges.size, jsRows.size, chains.size,
       warnings.size, tier)
 
-    ConvGraph(summary, allNodes, finalEdges, jsRows.toVector, chains.toVector,
+    ConvGraph(summary, allNodes, stampedEdges, jsRows.toVector, chains.toVector,
       liveClusters.toList.sortBy(_._1).flatMap { case (cid, cl) =>
         cl.members.toList.sortBy(_._1).flatMap { case (ntype, ids) =>
           ids.map(nid => ClusterMemberRow(convId, cid, cl.label, cl.logic, nid, ntype))

@@ -54,13 +54,31 @@ object RefGraphJson {
       a.path("end_char").asInt(-1),
       optText(a, "text_hash"),
       optText(a, "display_location"),
-      optText(a, "surface_text"))
+      optText(a, "surface_text"),
+      secondarySpans = {
+        val ss = a.path("secondary_spans")
+        if (!ss.isArray) Nil
+        else ss.elements().asScala.map(s =>
+          graft.kg.model.SpanRef(
+            s.path("start_char").asInt(-1), s.path("end_char").asInt(-1))).toSeq
+      })
+  }
+
+  private def provenance(n: JsonNode): graft.kg.model.Provenance = {
+    val p = n.path("provenance")
+    if (p.isMissingNode || p.isNull) null
+    else graft.kg.model.Provenance(
+      optText(p, "extraction_method"), optText(p, "model_id"),
+      optText(p, "prompt_id"), optText(p, "run_id"),
+      if (p.path("temperature").isNumber) Double.box(p.path("temperature").asDouble()) else null,
+      optText(p, "timestamp"))
   }
 
   private def blank(convId: String, id: String, ntype: String, j: JsonNode): Node =
     Node(convId, id, ntype, null, null, null, null, null, null,
       isRatio = false, null, null, null, null, null, null,
-      optText(j, "confidence"), anchor(j), "reference")
+      optText(j, "confidence"), anchor(j), "reference",
+      provenance = provenance(j))
 
   private def strSeq(n: JsonNode, field: String): Seq[String] = {
     val v = n.path(field)
@@ -142,7 +160,8 @@ object RefGraphJson {
         j.path("is_critical").asBoolean(false),
         strSeq(j, "support_group_ids"),
         optText(j, "explanation"), anchor(j),
-        method = "reference", repairNote = null)
+        method = "reference", repairNote = null,
+        provenance = provenance(j))
     }
 
     val js = nodesOf("justification_sets").map { j =>

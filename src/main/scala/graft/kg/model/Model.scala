@@ -1,14 +1,30 @@
 package graft.kg.model
 
+/** A bare character span (schema_v2_1.py secondary_spans entries). */
+final case class SpanRef(startChar: Int, endChar: Int)
+
 /** Evidence anchor: exact char span into the assembled conversation document
-  * (schema_v2_1.py:205-231). */
+  * plus optional secondary spans (schema_v2_1.py:205-231). */
 final case class Anchor(
     docId: String,
     startChar: Int,
     endChar: Int,
     textHash: String,
     displayLocation: String,
-    surfaceText: String
+    surfaceText: String,
+    secondarySpans: Seq[SpanRef] = Nil
+)
+
+/** Extraction provenance (schema_v2_1.py:233-257). The rule engine stamps
+  * method + promptId only; timestamps stay null for determinism (the
+  * reference's own test canonicalizer nulls them too). */
+final case class Provenance(
+    extractionMethod: String,   // rule|regex|inference|llm
+    modelId: String,            // null for the deterministic engine
+    promptId: String,           // rule/grammar identifier
+    runId: String,
+    temperature: java.lang.Double,
+    timestamp: String
 )
 
 /** One typed graph node, flattened across the 8 reference node kinds
@@ -41,7 +57,8 @@ final case class Node(
     courtResponse: String = null, // arguments: accepted|rejected|not_addressed
     treatment: String = null,     // precedents: followed|applied|distinguished|cited|…
     claim: String = null,         // arguments: bare claim text (text may be a composite)
-    schemes: Seq[String] = null   // arguments: ArgumentScheme values (schema_v2_1.py:90-110)
+    schemes: Seq[String] = null,  // arguments: ArgumentScheme values (schema_v2_1.py:90-110)
+    provenance: Provenance = null
 )
 
 /** One typed edge — the (subj, pred, obj) triple carrier
@@ -59,7 +76,8 @@ final case class EdgeRow(
     explanation: String,     // nullable
     anchor: Anchor,          // nullable
     method: String,
-    repairNote: String       // nullable; "ok" edges carry null
+    repairNote: String,      // nullable; "ok" edges carry null
+    provenance: Provenance = null
 )
 
 /** A justification set node (schema_v2_1.py:488-508; built per

@@ -27,6 +27,18 @@ class ExtractorSpec extends AnyFunSuite {
 
   lazy val g = DocExtractor.extract("conv_fix", turns)
 
+  test("nodes and edges carry provenance; anchors expose secondary spans") {
+    assert(g.nodes.forall(_.provenance != null))
+    assert(g.nodes.forall(n => n.provenance.extractionMethod == n.method))
+    assert(g.nodes.forall(_.provenance.promptId == "graft_rule_engine_v1"))
+    assert(g.nodes.forall(_.provenance.timestamp == null)) // determinism
+    assert(g.edges.forall(_.provenance != null))
+    assert(g.edges.filter(_.id.startsWith("e_repair_"))
+      .forall(_.provenance.extractionMethod == "inference"))
+    // v1 anchors have no secondary spans, but the schema carries the field
+    assert(g.nodes.filter(_.anchor != null).forall(_.anchor.secondarySpans.isEmpty))
+  }
+
   test("node induction finds every node type") {
     val byType = g.nodes.groupBy(_.nodeType).view.mapValues(_.size).toMap
     assert(byType.getOrElse("fact", 0) >= 1, s"facts: $byType")

@@ -149,4 +149,57 @@ class RulesSpec extends AnyFunSuite {
     assert(fp.contains("as held in"))
     assert(fp.exists(_.contains("the principle laid down in")))
   }
+
+  test("actor normalization follows the reference alias map (V4)") {
+    import graft.kg.rules.Actors
+    assert(Actors.normalizeActor("Union of India") == "respondent")
+    assert(Actors.normalizeActor("Writ-Petitioner") == "petitioner")
+    assert(Actors.normalizeActor("High Court") == "lower_court")
+    assert(Actors.normalizeActor("Amicus Curiae") == "amicus")
+    assert(Actors.normalizeActor(null) == null)
+    assert(Actors.normalizeActor("  ") == null)
+  }
+
+  test("actor coercion heuristics and fallbacks (V4)") {
+    import graft.kg.rules.Actors
+    assert(Actors.coerceActor("State Electricity Board") == "respondent")
+    assert(Actors.coerceActor("the writ applicant") == "petitioner")
+    assert(Actors.coerceActor("appellate side") == "appellant")
+    assert(Actors.coerceActor("sessions judge") == "lower_court")
+    assert(Actors.coerceActor("division bench") == "court")
+    assert(Actors.coerceActor("random stranger") == "third_party")
+    assert(Actors.coerceActor(null, default = "court") == "court")
+    assert(Actors.coerceActor("grand_chamber",
+      extraAliases = Map("grand_chamber" -> "court")) == "court")
+  }
+
+  test("argument scheme normalization and enum clamp (V3)") {
+    import graft.kg.rules.Actors
+    assert(Actors.normalizeScheme("Textual Interpretation") == "textual")
+    assert(Actors.normalizeScheme("audi-alteram-partem") == "natural_justice")
+    assert(Actors.normalizeScheme("precedent_distinguishing") == "precedent_distinction")
+    assert(Actors.coerceScheme("made_up_scheme") == "other")
+    assert(Actors.ArgumentSchemes.size == 19)
+    assert(Actors.coerceScheme(null) == null)
+  }
+
+  test("rule-extracted arguments carry actor + scheme (V3/V4 wiring)") {
+    val turns = Seq(
+      0 -> "The petitioner contends that the order violates natural justice and audi alteram partem.",
+      1 -> "The Union of India submits that the measure is proportionate.",
+      2 -> "The question is whether the restriction is reasonable.",
+      3 -> "We hold that the restriction fails the proportionality test.",
+      4 -> "The appeal is allowed.")
+    val g = graft.kg.extract.DocExtractor.extract("v34", turns, Ontology.default, "in")
+    val args = g.nodes.filter(_.nodeType == "argument")
+    assert(args.nonEmpty)
+    assert(args.forall(a => graft.kg.rules.Actors.ActorTypes.contains(a.actor)))
+    assert(args.forall(a => a.schemes != null && a.schemes.nonEmpty &&
+      a.schemes.forall(graft.kg.rules.Actors.ArgumentSchemes.contains)))
+    assert(args.forall(a => a.claim == a.text))
+    val byActor = args.map(a => a.actor).toSet
+    assert(byActor.contains("petitioner"))
+    val schemes = args.flatMap(_.schemes).toSet
+    assert(schemes.contains("natural_justice"))
+  }
 }
