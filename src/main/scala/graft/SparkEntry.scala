@@ -244,7 +244,7 @@ object SparkEntry {
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val queries = base.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      graft.data.Similarity.ivfTopK(queries, base, dim = 64, cells = 16, nProbe = 4, k = 5)
+      graft.data.Similarity.ivfTopKKmeans(queries, base, dim = 64, cells = 16, nProbe = 4, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
     "q23_media_features" -> ((s, dir) => {

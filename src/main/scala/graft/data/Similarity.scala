@@ -91,6 +91,117 @@ object Similarity {
       .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** Deterministic seeded k-means (Lloyd) over the embedding column —
+    * data-derived IVF centroids. Initialization picks k vectors by hashed-id
+    * order (reproducible, data-dependent); each iteration assigns via a
+    * broadcast centroid matrix and recomputes per-cell/per-dimension means
+    * with one posexplode aggregation (k×dim rows collected — tiny). Empty
+    * cells keep their previous centroid. Returns k×dim centroids. */
+  def kmeansCentroids(
+      base: DataFrame, dim: Int, k: Int = 16, iters: Int = 8,
+      seed: Long = 42L): Array[Array[Double]] = {
+    // pin the working set once — Lloyd iterations would otherwise recompute
+    // the full input lineage per iteration
+    val pinned = base.select(col("vec_id"), col("embedding")).localCheckpoint()
+    val init: Array[Array[Double]] = pinned
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    var centroids = init
+    var it = 0
+    while (it < iters) {
+      val assign = assignUdf(centroids)
+      val means = pinned
+        .select(assign(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment as a deterministic UDF over a broadcast
+    * centroid matrix (a k×dim literal expression tree would exceed codegen
+    * limits; the argmax loop is the pragmatic seam). Cosine against each
+    * centroid; ties to the lowest cell index. */
+  private def assignUdf(centroids: Array[Array[Double]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((embSeq: Seq[Double]) => {
+      val emb = embSeq.toArray // Seq may deserialize as List — O(1) access needed
+      var best = 0
+      var bestSim = Double.NegativeInfinity
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < cen.length && i < emb.length) {
+          dot += emb(i) * cen(i); na += emb(i) * emb(i); nb += cen(i) * cen(i)
+          i += 1
+        }
+        val sim = if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else -2.0
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    })
+
+  /** Public assignment for diagnostics/partitioning: adds a `cell` column
+    * from a learned centroid matrix. */
+  def assignCells(base: DataFrame, centroids: Array[Array[Double]]): DataFrame =
+    base.withColumn("cell", assignUdf(centroids)(col("embedding")))
+
+  /** Ranked probe list (all cells, best first) for a query vector. */
+  private def probeUdf(centroids: Array[Array[Double]], nProbe: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((embSeq: Seq[Double]) => {
+      val emb = embSeq.toArray
+      val sims = centroids.indices.map { c =>
+        val cen = centroids(c)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < cen.length && i < emb.length) {
+          dot += emb(i) * cen(i); na += emb(i) * emb(i); nb += cen(i) * cen(i)
+          i += 1
+        }
+        (if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else -2.0, c)
+      }
+      sims.sortBy(s => (-s._1, s._2)).take(nProbe).map(_._2)
+    })
+
+  /** IVF top-k with DATA-DERIVED centroids (seeded k-means): the production
+    * path. Vectors are assigned to their nearest learned centroid; each
+    * query probes only `nProbe` cells. On a cell-partitioned table the probe
+    * list becomes partition pruning; recall@10 ≥ 0.9 vs brute force is
+    * asserted on the sf0.1 embeddings in DataOpsSpec. */
+  def ivfTopKKmeans(
+      queries: DataFrame, base: DataFrame, dim: Int,
+      cells: Int = 16, nProbe: Int = 4, k: Int = 10,
+      iters: Int = 8, seed: Long = 42L): DataFrame = {
+    val centroids = kmeansCentroids(base, dim, cells, iters, seed)
+    val assign = assignUdf(centroids)
+    val probes = probeUdf(centroids, nProbe)
+    val baseCells = base.withColumn("cell", assign(col("embedding")))
+    val qCells = queries
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        explode(probes(col("embedding"))).as("cell"))
+    val scored = baseCells.join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Random-hyperplane LSH bucket (H-bit signature) for cosine near-dup
     * candidate generation. */
   def hyperplaneBucket(emb: Column, dim: Int, bits: Int = 16): Column = {
