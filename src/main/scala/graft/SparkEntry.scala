@@ -269,6 +269,15 @@ object SparkEntry {
         .orderBy(col("a"))
     }),
 
+    // --- qrels construction: regex relevance judging over raw text ---
+    "q29_regex_qrels" -> ((s, dir) => {
+      graft.kg.eval.Qrels.buildRegexQrels(
+        pq(s, dir, "documents"), "doc_id", "text",
+        Seq(("UNLISTED_SPARK_JOIN", null), ("UNLISTED_WINDOW_FILTER", null),
+          ("UNLISTED_CUSTOMER_ORDER", null)))
+        .orderBy(col("query_id"), col("doc_id"))
+    }),
+
     // --- C7 commons tally: id-set intersection of two corpora ---
     "q26_commons_tally" -> ((s, dir) => {
       val early = pq(s, dir, "orders")
@@ -481,6 +490,19 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q29_regex_qrels" ->
+      // fallback-strategy patterns for the made-up concept ids reduce to the
+      // two-token phrase regexes mirrored here
+      """SELECT query_id, doc_id, rel FROM (
+           SELECT 'UNLISTED_SPARK_JOIN' AS query_id, doc_id, 1 AS rel
+           FROM documents WHERE regexp_matches(text, '(?i)(?:spark\s+join)')
+           UNION ALL
+           SELECT 'UNLISTED_WINDOW_FILTER' AS query_id, doc_id, 1 AS rel
+           FROM documents WHERE regexp_matches(text, '(?i)(?:window\s+filter)')
+           UNION ALL
+           SELECT 'UNLISTED_CUSTOMER_ORDER' AS query_id, doc_id, 1 AS rel
+           FROM documents WHERE regexp_matches(text, '(?i)(?:customer\s+order)'))
+         ORDER BY query_id, doc_id""",
     "q26_commons_tally" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < '1996-01-01'
          INTERSECT

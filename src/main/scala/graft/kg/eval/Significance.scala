@@ -1,0 +1,73 @@
+package graft.kg.eval
+
+/** Statistical comparison of per-query metric vectors — the reference's
+  * significance layer re-expressed: paired two-sided t-test
+  * (eval_retrieval_v2.py:1042-1048, scipy ttest_rel semantics via
+  * commons-math3's Student-t distribution) and seeded bootstrap 95% CI for a
+  * paired mean difference (eval_ablation.py:382-393). Driver-side over
+  * per-query aggregates only — the heavy ranking work stays distributed in
+  * RankMetrics.
+  */
+object Significance {
+
+  final case class TTest(t: Double, p: Double)
+
+  /** Paired two-sided t-test over equal-length metric vectors. Identical
+    * vectors return (0, 1) like the reference's allclose guard. */
+  def pairedTTest(a: Seq[Double], b: Seq[Double]): TTest = {
+    require(a.length == b.length && a.length >= 2, "need paired samples (n >= 2)")
+    val d = a.zip(b).map { case (x, y) => x - y }
+    val n = d.length
+    val mean = d.sum / n
+    val varSum = d.map(x => (x - mean) * (x - mean)).sum
+    if (d.forall(x => math.abs(x) < 1e-12)) return TTest(0.0, 1.0) // allclose guard
+    if (varSum <= 1e-24) // constant non-zero shift: infinitely significant
+      return TTest(if (mean > 0) Double.PositiveInfinity else Double.NegativeInfinity, 0.0)
+    val sd = math.sqrt(varSum / (n - 1))
+    val t = mean / (sd / math.sqrt(n))
+    val dist = new org.apache.commons.math3.distribution.TDistribution(n - 1)
+    val p = 2.0 * dist.cumulativeProbability(-math.abs(t))
+    TTest(t, p)
+  }
+
+  /** p-value → display label (eval_retrieval_v2.py:1051-1056). */
+  def significanceLabel(p: Double): String =
+    if (p < 0.01) "**" else if (p < 0.05) "*" else "n.s."
+
+  /** Seeded bootstrap 95% CI for the paired mean difference mean(a) - mean(b)
+    * (eval_ablation.py:382-393 shape, metric-valued instead of 0/1
+    * accuracy). Deterministic for a fixed seed. */
+  def bootstrapCiDiff(
+      a: Seq[Double], b: Seq[Double],
+      nBoot: Int = 10000, seed: Long = 42L): (Double, Double) = {
+    require(a.length == b.length && a.nonEmpty)
+    val n = a.length
+    val rng = new java.util.Random(seed)
+    val aa = a.toArray
+    val bb = b.toArray
+    val diffs = new Array[Double](nBoot)
+    var it = 0
+    while (it < nBoot) {
+      var sa = 0.0
+      var sb = 0.0
+      var j = 0
+      while (j < n) {
+        val idx = rng.nextInt(n)
+        sa += aa(idx); sb += bb(idx)
+        j += 1
+      }
+      diffs(it) = (sa - sb) / n
+      it += 1
+    }
+    java.util.Arrays.sort(diffs)
+    def pct(q: Double): Double = {
+      // numpy 'linear' percentile interpolation
+      val pos = q * (nBoot - 1)
+      val lo = pos.toInt
+      val hi = math.min(lo + 1, nBoot - 1)
+      val frac = pos - lo
+      diffs(lo) * (1 - frac) + diffs(hi) * frac
+    }
+    (math.rint(pct(0.025) * 1e4) / 1e4, math.rint(pct(0.975) * 1e4) / 1e4)
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.kg.eval.{Qrels, RankMetrics, Significance}
+import graft.kg.gen.TranscriptGen
+import graft.kg.pipeline.KgPipeline
+import graft.kg.query.Retrieval
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Qrels construction + significance layer (eval_retrieval_v2.py:345-643,
+  * :982-1056; eval_ablation.py:382-393) — pattern generation is asserted
+  * string-for-string against outputs of the reference's own
+  * _concept_id_to_patterns, and the full retrieval-eval flow (build qrels →
+  * score → RankMetrics → paired t-test + bootstrap CI) runs end-to-end. */
+class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("graft-eval-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("concept-id patterns match the reference generator string-for-string") {
+    assert(Qrels.conceptIdToPatterns("CONST_ART14") == List(
+      "(?:Article|Art\\.?)\\s*14\\b",
+      "(?:Article|Art\\.?)\\s*14\\b.{0,30}Constitution",
+      "\\b14\\s+Constitution",
+      "(?:Article|Art\\.?)\\s*14\\b.{0,30}Constitution\\s+of\\s+India",
+      "\\b14\\s+Constitution\\s+of\\s+India"))
+    assert(Qrels.conceptIdToPatterns("UNLISTED_IPC_S302") == List(
+      "(?:Section|Sec\\.?|S\\.?)\\s*302\\b",
+      "(?:Section|Sec\\.?|S\\.?)\\s*302\\b.{0,30}I\\.?P\\.?C\\.?",
+      "\\b302\\s+I\\.?P\\.?C\\.?",
+      "(?:Section|Sec\\.?|S\\.?)\\s*302\\b.{0,30}Indian\\s+Penal\\s+Code",
+      "\\b302\\s+Indian\\s+Penal\\s+Code"))
+    assert(Qrels.conceptIdToPatterns("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM")
+      == List("natural justice"))
+    assert(Qrels.conceptIdToPatterns("DOCTRINE_BASIC_STRUCTURE") == List("basic structure"))
+    assert(Qrels.conceptIdToPatterns("UNLISTED_CRPC_S482") == List(
+      "(?:Section|Sec\\.?|S\\.?)\\s*482\\b",
+      "(?:Section|Sec\\.?|S\\.?)\\s*482\\b.{0,30}Cr\\.?P\\.?C\\.?",
+      "\\b482\\s+Cr\\.?P\\.?C\\.?",
+      "(?:Section|Sec\\.?|S\\.?)\\s*482\\b.{0,30}Code\\s+of\\s+Criminal\\s+Procedure",
+      "\\b482\\s+Code\\s+of\\s+Criminal\\s+Procedure"))
+    assert(Qrels.conceptIdToPatterns("TEST_WEDNESBURY_UNREASONABLENESS") == List("Wednesbury"))
+    assert(Qrels.conceptIdToPatterns("CONCEPT_RES_JUDICATA") == List("res judicata"))
+    assert(Qrels.conceptIdToPatterns("UNLISTED_FOO_BAR", "Some Unusual Doctrine Name")
+      == List("Some\\s+Unusual\\s+Doctrine"))
+  }
+
+  test("paired t-test: identical vectors are n.s., shifted vectors significant") {
+    val a = Seq(0.5, 0.6, 0.7, 0.4, 0.55, 0.62, 0.48, 0.71)
+    val same = Significance.pairedTTest(a, a)
+    assert(same.t == 0.0 && same.p == 1.0)
+    assert(Significance.significanceLabel(same.p) == "n.s.")
+    val b = a.zipWithIndex.map { case (x, i) => x - 0.1 - 0.01 * (i % 3) }
+    val tt = Significance.pairedTTest(a, b)
+    assert(tt.p < 0.01, s"p=${tt.p}")
+    assert(Significance.significanceLabel(tt.p) == "**")
+    // symmetric: swapping flips t's sign, keeps p
+    val rev = Significance.pairedTTest(b, a)
+    assert(math.abs(rev.t + tt.t) < 1e-9 && math.abs(rev.p - tt.p) < 1e-12)
+  }
+
+  test("bootstrap CI is deterministic, brackets the true difference") {
+    val a = Seq.tabulate(40)(i => 0.6 + 0.01 * (i % 5))
+    val b = Seq.tabulate(40)(i => 0.5 + 0.01 * ((i + 2) % 5))
+    val (lo, hi) = Significance.bootstrapCiDiff(a, b, nBoot = 2000)
+    val (lo2, hi2) = Significance.bootstrapCiDiff(a, b, nBoot = 2000)
+    assert(lo == lo2 && hi == hi2) // seeded determinism
+    val trueDiff = a.sum / a.length - b.sum / b.length
+    assert(lo <= trueDiff && trueDiff <= hi, s"[$lo,$hi] vs $trueDiff")
+    assert(hi - lo < 0.05) // tight for near-constant diffs
+  }
+
+  test("end-to-end: regex qrels -> TF-IDF vs BM25 -> metrics -> significance") {
+    import spark.implicits._
+    val transcripts = (0 until 40)
+      .flatMap(i => TranscriptGen.conversation(f"conv_$i%06d", 14)).toDF()
+    val docs = Retrieval.linearizeStable(
+      KgPipeline.nodesDirect(spark, transcripts).toDF())
+    // concept queries judged by regex over the linearized corpus text
+    val concepts = Seq(
+      ("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM", null: String),
+      ("DOCTRINE_BASIC_STRUCTURE", null: String),
+      ("CONCEPT_RES_JUDICATA", null: String))
+    val qrels = Qrels.buildRegexQrels(docs, "conv_id", "doc_text", concepts)
+      .withColumnRenamed("doc_id", "doc_id").cache()
+    assert(qrels.count() > 0, "qrels empty — synthetic corpus should mention doctrines")
+    assert(qrels.select("query_id").distinct().count() >= 2)
+
+    // query text = the concept tokens (the reference queries by concept)
+    val queryTexts = concepts.map { case (cid, _) =>
+      (cid, cid.toLowerCase.replace("_", " ")) }.toDF("query_id", "query_text")
+    val tfidf = Retrieval.tfidfScores(spark, docs, queryTexts)
+      .withColumnRenamed("conv_id", "doc_id")
+    val bm25 = Retrieval.bm25Scores(spark, docs, queryTexts)
+      .withColumnRenamed("conv_id", "doc_id")
+
+    val mA = RankMetrics.perQuery(tfidf, qrels, k = 10)
+      .orderBy("query_id").collect()
+    val mB = RankMetrics.perQuery(bm25, qrels, k = 10)
+      .orderBy("query_id").collect()
+    assert(mA.nonEmpty && mA.length == mB.length)
+    val apA = mA.map(_.getAs[Double]("ap")).toSeq
+    val apB = mB.map(_.getAs[Double]("ap")).toSeq
+    // both methods retrieve the doctrine-bearing conversations: decent MAP
+    assert(apA.sum / apA.length > 0.3, s"tfidf MAP ${apA.sum / apA.length}")
+    assert(apB.sum / apB.length > 0.3, s"bm25 MAP ${apB.sum / apB.length}")
+
+    if (apA.length >= 2) {
+      val tt = Significance.pairedTTest(apA, apB)
+      assert(tt.p >= 0.0 && tt.p <= 1.0)
+      val (lo, hi) = Significance.bootstrapCiDiff(apA, apB, nBoot = 1000)
+      assert(lo <= hi)
+    }
+  }
+}
