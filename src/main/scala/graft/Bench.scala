@@ -45,7 +45,8 @@ object Bench {
     * plus cross-conversation canonicalization (connected components over
     * candidate-match keys) to the canonical triple set. Returns
     * (seconds, canonical triples). */
-  private def kgRun(cores: Int, transcriptsPath: String, reps: Int = 3): (Double, Long) = {
+  private def kgRun(cores: Int, transcriptsPath: String, reps: Int = 3,
+                    prePartitioned: Boolean = true): (Double, Long) = {
     val spark = session(cores)
     try {
       import spark.implicits._
@@ -57,9 +58,11 @@ object Bench {
       var triples = 0L
       for (_ <- 1 to reps) {
         val t0 = System.nanoTime()
-        val nodes = KgPipeline.nodesDirect(spark, transcripts).toDF()
+        val nodes = KgPipeline
+          .nodesDirect(spark, transcripts, prePartitioned = prePartitioned).toDF()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val edges = KgPipeline.edgesDirect(spark, transcripts).toDF()
+        val edges = KgPipeline
+          .edgesDirect(spark, transcripts, prePartitioned = prePartitioned).toDF()
         triples = graft.kg.canonical.Canonicalizer
           .canonicalTriples(spark, nodes, edges).count()
         nodes.unpersist()
@@ -98,10 +101,12 @@ object Bench {
       // stage's fixed per-job latency stays <10% of the 2-core run at sf0.1
       val nDocs = prep.read.parquet(s"$sfDir/documents.parquet").count()
       val n = math.max(600, nDocs.toInt * 3)
-      val path = s"/tmp/graft_bench_transcripts40_$n"
+      // conversation-contiguous production layout: extraction reads it
+      // SHUFFLE-FREE (no conv_id exchange) — the 100-TB deployment shape
+      val path = s"/tmp/graft_bench_transcripts40p_$n"
       if (!new java.io.File(path + "/_SUCCESS").exists()) {
-        TranscriptGen.turns(n, 40).toDF()
-          .repartition(highCores).write.mode("overwrite").parquet(path)
+        KgPipeline.writeConversationPartitioned(
+          TranscriptGen.turns(n, 40).toDF(), path, nFiles = highCores * 4)
       }
       (n, path)
     }
@@ -117,6 +122,12 @@ object Bench {
     val (highSec, highTriples) = kgRun(highCores, transcriptsPath)
     require(lowTriples == highTriples && baseTriples == lowTriples,
       s"parallelism changed results: $baseTriples/$lowTriples/$highTriples")
+    // the pre-round-2 path (conv_id exchange + sort) at the same two levels,
+    // for the shuffle-cost comparison in BENCH.md
+    val (shufLowSec, shufLowTriples) = kgRun(lowCores, transcriptsPath, prePartitioned = false)
+    val (shufHighSec, shufHighTriples) = kgRun(highCores, transcriptsPath, prePartitioned = false)
+    require(shufLowTriples == lowTriples && shufHighTriples == lowTriples,
+      s"layout changed results: $shufLowTriples/$shufHighTriples vs $lowTriples")
     val base2Tps = baseTriples / base2Sec
     val lowTps = lowTriples / lowSec
     val highTps = highTriples / highSec
@@ -147,6 +158,8 @@ object Bench {
         s""""scaling_efficiency":${f(eff2to8)},""" +
         s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
         s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
+        s""""shuffled_low":{"cores":$lowCores,"sec":${f(shufLowSec)}},""" +
+        s""""shuffled_high":{"cores":$highCores,"sec":${f(shufHighSec)}},""" +
         s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,"triples_per_sec":${f(matTriples / matSec)}}}"""
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")

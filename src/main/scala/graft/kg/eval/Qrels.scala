@@ -266,6 +266,37 @@ object Qrels {
     patterns.toList
   }
 
+  private val SimpleStatuteRe = "(?i)^([a-z]+)\\s+(\\d+[a-z]?)$".r
+
+  /** Expand a concept's patterns with the ontology's statute-renumbering
+    * table (statute_mappings: IPC→BNS, CrPC→BNSS, IEA→BSA): a query for the
+    * old section also matches text citing its successor, and vice versa.
+    * Only simple "CODE NUM" mappings expand; ranges/repeals are skipped. */
+  def patternsWithStatuteEquivalents(
+      conceptId: String, label: String,
+      mappings: List[graft.kg.ontology.StatuteMapping]): List[String] = {
+    val base = conceptIdToPatterns(conceptId, label)
+    val idLower = conceptId.toLowerCase
+    val extra = mappings.flatMap { m =>
+      def parse(s: String): Option[(String, String)] = Option(s).flatMap {
+        case SimpleStatuteRe(code, num) => Some((code.toLowerCase, num.toLowerCase))
+        case _ => None
+      }
+      def mentions(code: String, num: String): Boolean =
+        idLower.contains(code) && idLower.contains(num)
+      def pseudoId(code: String, num: String): String =
+        s"UNLISTED_${code.toUpperCase}_S${num.toUpperCase}"
+      (parse(m.old), parse(m.nw)) match {
+        case (Some((oc, on)), Some((nc, nn))) =>
+          if (mentions(oc, on)) conceptIdToPatterns(pseudoId(nc, nn))
+          else if (mentions(nc, nn)) conceptIdToPatterns(pseudoId(oc, on))
+          else Nil
+        case _ => Nil
+      }
+    }
+    (base ++ extra).distinct
+  }
+
   /** Build binary qrels as a DataFrame (query_cid, doc_id, rel=1): a doc is
     * relevant iff any pattern for the concept matches its raw text
     * (case-insensitive), evaluated as ONE distributed regexp pass per corpus

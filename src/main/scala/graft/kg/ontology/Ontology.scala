@@ -77,10 +77,14 @@ final case class SignalPattern(
   }.distinct
 }
 
+/** One old→new statute renumbering row (the ontology's statute_mappings
+  * table: IPC→BNS, CrPC→BNSS, IEA→BSA). */
+final case class StatuteMapping(category: String, old: String, nw: String, concept: String)
+
 final case class OntologyData(
     concepts: Map[String, ConceptDef],
     patterns: Map[String, SignalPattern],
-    statuteMappings: Map[String, String]
+    statuteMappings: List[StatuteMapping]
 ) {
   /** Inverted keyword → concept-ids index for candidate pruning in cluster
     * scoring. A concept can score > 0 only if it shares ≥1 index keyword
@@ -228,9 +232,17 @@ object Ontology {
       }.toMap
     }.getOrElse(Map.empty)
 
-    val statutes = Option(root.get("statute_mappings")).filterNot(_.isNull).map { sn =>
-      sn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
+    val statutes = Option(root.get("statute_mappings")).filterNot(_.isNull)
+      .flatMap(sn => Option(sn.get("rows")).filterNot(_.isNull))
+      .map { rows =>
+        rows.elements().asScala.map { r =>
+          StatuteMapping(
+            Option(r.get("category")).map(_.asText()).orNull,
+            Option(r.get("old")).map(_.asText()).orNull,
+            Option(r.get("new")).map(_.asText()).orNull,
+            Option(r.get("concept")).map(_.asText()).orNull)
+        }.toList
+      }.getOrElse(Nil)
 
     OntologyData(concepts, patterns, statutes)
   }

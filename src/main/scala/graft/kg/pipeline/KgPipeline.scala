@@ -77,6 +77,32 @@ object KgPipeline {
     }.flatten
   }
 
+  /** Write transcripts in the conversation-contiguous production layout:
+    * hash-partitioned by conv_id into `nFiles` files, rows sorted by
+    * (conv_id, turn_idx) inside each file. Tables in this layout are read
+    * back SHUFFLE-FREE by the `prePartitioned = true` extraction paths —
+    * at 100 TB this removes the only exchange of the extraction stage.
+    * Files must stay below spark.sql.files.maxPartitionBytes so the reader
+    * never splits one mid-conversation; size nFiles accordingly. */
+  def writeConversationPartitioned(
+      transcripts: DataFrame, path: String, nFiles: Int): Unit =
+    transcripts
+      .repartition(nFiles, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("text"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Trusting read of the conversation-contiguous layout: no exchange, no
+    * sort — every conversation's rows are already contiguous and ordered
+    * within one file, and file boundaries never cut a conversation (each
+    * conv hashes to exactly one write partition = one file). */
+  private def slimTurnsPrePartitioned(
+      spark: SparkSession, transcripts: DataFrame): Dataset[SlimTurn] = {
+    import spark.implicits._
+    transcripts
+      .select(col("conv_id"), col("turn_idx").cast("int"), col("text"))
+      .as[SlimTurn]
+  }
+
   /** Run extraction: transcripts (conv_id, turn_idx, ..., text) → ConvGraph. */
   def graphs(
       spark: SparkSession,
@@ -98,19 +124,23 @@ object KgPipeline {
       spark: SparkSession,
       transcripts: DataFrame,
       jurisdiction: String = "in",
-      ontology: OntologyData = Ontology.default)(
+      ontology: OntologyData = Ontology.default,
+      prePartitioned: Boolean = false)(
       f: ConvGraph => IterableOnce[T]): Dataset[T] = {
-    slimTurns(spark, transcripts)
-      .mapPartitions(it => perConversation(it, ontology, jurisdiction)(f))
+    val slim =
+      if (prePartitioned) slimTurnsPrePartitioned(spark, transcripts)
+      else slimTurns(spark, transcripts)
+    slim.mapPartitions(it => perConversation(it, ontology, jurisdiction)(f))
   }
 
   /** Extraction → (subj, pred, obj) triples in one pass (the bench metric). */
   def triplesDirect(
       spark: SparkSession,
       transcripts: DataFrame,
-      jurisdiction: String = "in"): Dataset[Triple] = {
+      jurisdiction: String = "in",
+      prePartitioned: Boolean = false): Dataset[Triple] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Triple]
-    flatExtract(spark, transcripts, jurisdiction) { g =>
+    flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned) { g =>
       g.edges.map(e => Triple(g.summary.convId, e.source, e.relation, e.target))
     }
   }
@@ -119,18 +149,20 @@ object KgPipeline {
   def edgesDirect(
       spark: SparkSession,
       transcripts: DataFrame,
-      jurisdiction: String = "in"): Dataset[EdgeRow] = {
+      jurisdiction: String = "in",
+      prePartitioned: Boolean = false): Dataset[EdgeRow] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[EdgeRow]
-    flatExtract(spark, transcripts, jurisdiction)(_.edges)
+    flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned)(_.edges)
   }
 
   /** Extraction → nodes in one pass. */
   def nodesDirect(
       spark: SparkSession,
       transcripts: DataFrame,
-      jurisdiction: String = "in"): Dataset[Node] = {
+      jurisdiction: String = "in",
+      prePartitioned: Boolean = false): Dataset[Node] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[Node]
-    flatExtract(spark, transcripts, jurisdiction)(_.nodes)
+    flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned)(_.nodes)
   }
 
   /** Extraction → per-conversation summaries in one pass. */

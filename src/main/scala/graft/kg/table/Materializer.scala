@@ -78,7 +78,9 @@ object Materializer {
       b.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket").parquet(s"$root/$name")
-      rowCounts(name) = b.count()
+      // count what was WRITTEN (column-less scan over the output footers),
+      // not a recompute of the table's full lineage
+      rowCounts(name) = spark.read.parquet(s"$root/$name").count()
     }
 
     // per-bucket lineage: extraction counts from summaries + an

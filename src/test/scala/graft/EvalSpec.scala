@@ -52,6 +52,19 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       == List("Some\\s+Unusual\\s+Doctrine"))
   }
 
+  test("statute-equivalent expansion: IPC 302 query also matches BNS 103") {
+    val mappings = graft.kg.ontology.Ontology.default.statuteMappings
+    assert(mappings.nonEmpty, "statute_mappings rows should parse")
+    val ps = Qrels.patternsWithStatuteEquivalents("UNLISTED_IPC_S302", null, mappings)
+    assert(ps.exists(_.contains("302")))
+    assert(ps.exists(p => p.contains("103") && p.contains("B\\.?N\\.?S")),
+      ps.mkString(" | "))
+    // and the reverse direction: BNS 103 expands back to IPC 302
+    val rev = Qrels.patternsWithStatuteEquivalents("UNLISTED_BNS_S103", null, mappings)
+    assert(rev.exists(p => p.contains("302") && p.contains("I\\.?P\\.?C")),
+      rev.mkString(" | "))
+  }
+
   test("paired t-test: identical vectors are n.s., shifted vectors significant") {
     val a = Seq(0.5, 0.6, 0.7, 0.4, 0.55, 0.62, 0.48, 0.71)
     val same = Significance.pairedTTest(a, a)

@@ -36,6 +36,22 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("shuffle-free pre-partitioned extraction equals the shuffled path") {
+    val df = transcriptsDF(60)
+    val path = Files.createTempDirectory("graft_prepart").toString + "/t"
+    KgPipeline.writeConversationPartitioned(df, path, nFiles = 7)
+    val pre = spark.read.parquet(path)
+    val a = KgPipeline.triplesDirect(spark, pre, prePartitioned = true)
+      .collect().map(_.toString).sorted
+    val b = KgPipeline.triplesDirect(spark, df)
+      .collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // and the pre-partitioned plan really has no exchange
+    val plan = KgPipeline.triplesDirect(spark, pre, prePartitioned = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("materializer writes all tables, commits snapshot with lineage") {
     val root = Files.createTempDirectory("graft_mat").toString
     val report = Materializer.run(spark, transcriptsDF(60), root, nBuckets = 8)
