@@ -297,6 +297,38 @@ object Qrels {
     (base ++ extra).distinct
   }
 
+  private val RelevanceGrade = Map(
+    "central" -> 4, "supporting" -> 3, "mentioned" -> 1, "obiter" -> 1)
+
+  /** Annotation-mode qrels (build_annotation_qrels,
+    * eval_retrieval_v2.py:234-303): graded relevance from extracted concept
+    * annotations. Per (conv, concept) grade = max relevance grade; query
+    * concepts are those with 3 ≤ df ≤ 25% of the corpus, top-n by df
+    * descending (ties broken by concept id for determinism — the reference's
+    * Python sort is stable on its dict order, which has no distributed
+    * analog); query text = the cleaned concept id (this engine's rule
+    * extractor emits listed-ontology concepts, for which the reference also
+    * falls back to the cleaned id). Returns (queries, qrels) DataFrames. */
+  def annotationQrels(nodes: DataFrame, nQueries: Int = 50): (DataFrame, DataFrame) = {
+    val grades = nodes
+      .filter(col("nodeType") === "concept" && col("conceptId").isNotNull)
+      .select(col("convId").as("doc_id"), col("conceptId").as("query_id"),
+        coalesce(element_at(typedLit(RelevanceGrade), col("relevance")), lit(1)).as("rel"))
+      .groupBy(col("doc_id"), col("query_id")).agg(max(col("rel")).as("rel"))
+    val nCorpus = nodes.select(col("convId")).distinct().count()
+    val maxDf = (nCorpus * 0.25).toLong
+    val top = grades.groupBy(col("query_id")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3 && col("df") <= maxDf)
+      .orderBy(col("df").desc, col("query_id").asc)
+      .limit(nQueries)
+    val queries = top.select(col("query_id"),
+      regexp_replace(regexp_replace(col("query_id"), lit("^UNLISTED_"), lit("")),
+        lit("_"), lit(" ")).as("query_text"))
+    val qrels = grades.join(broadcast(top.select(col("query_id"))), "query_id")
+      .select(col("query_id"), col("doc_id"), col("rel"))
+    (queries, qrels)
+  }
+
   /** Build binary qrels as a DataFrame (query_cid, doc_id, rel=1): a doc is
     * relevant iff any pattern for the concept matches its raw text
     * (case-insensitive), evaluated as ONE distributed regexp pass per corpus

@@ -672,13 +672,10 @@ object DocExtractor {
       finalEdges, primaryJsFor, nodeTypeById)
 
     // ---- Stage 9: validation + tier (extractor.py:4822-4862) ----------------
-    val allIds = nodes.map(_.id).toSet ++ jsRows.map(_.id)
-    for (e <- finalEdges) {
-      if (!allIds.contains(e.source)) warnings += s"edge ${e.id} error: source ${e.source} missing"
-      if (!allIds.contains(e.target)) warnings += s"edge ${e.id} error: target ${e.target} missing"
-    }
-    val dupIds = nodes.groupBy(_.id).filter(_._2.size > 1).keys
-    dupIds.foreach(id => warnings += s"duplicate node id: $id")
+    // full graph.validate (schema_v2_1.py:622-704): endpoints, support-group
+    // target match, confidence/anchor coherence, JS membership, duplicate
+    // ids, anchor offset sanity, outcome DETERMINES requirement
+    warnings ++= GraphAssembly.validateGraph(allNodesPreJs, finalEdges, jsRows)
 
     val tier = GraphAssembly.computeTier(
       warnings.toSeq, holdings.nonEmpty, outcome.nonEmpty, chains.nonEmpty)

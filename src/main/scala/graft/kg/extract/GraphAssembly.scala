@@ -130,6 +130,75 @@ object GraphAssembly {
     chains.toVector
   }
 
+  /** Full graph validation (LegalReasoningGraph.validate,
+    * schema_v2_1.py:622-704 + Edge.validate :524-533): endpoint existence,
+    * support-group existence + target match, confidence/anchor coherence,
+    * justification-set membership, duplicate node/edge ids, anchor offset
+    * sanity, and the outcome DETERMINES requirement. Warning strings use the
+    * reference's exact formats so tier gating classifies them identically. */
+  def validateGraph(
+      nodes: Vector[graft.kg.model.Node],
+      edges: Vector[EdgeRow],
+      js: Vector[JustificationSetRow]): Vector[String] = {
+    val w = ArrayBuffer.empty[String]
+    val allIds = nodes.map(_.id).toSet ++ js.map(_.id)
+    val jsIds = js.map(_.id).toSet
+    val jsTargets = js.map(j => j.id -> j.targetId).toMap
+
+    for (e <- edges) {
+      if (!allIds.contains(e.source)) w += s"Edge ${e.id}: source '${e.source}' not found"
+      if (!allIds.contains(e.target)) w += s"Edge ${e.id}: target '${e.target}' not found"
+      for (sg <- Option(e.supportGroupIds).getOrElse(Seq.empty)) {
+        if (!jsIds.contains(sg))
+          w += s"Edge ${e.id}: support_group_id '$sg' not found"
+        else if (e.target != jsTargets(sg))
+          w += s"Edge ${e.id}: target '${e.target}' doesn't match " +
+            s"justification set '$sg' target '${jsTargets(sg)}'"
+      }
+      if ((e.confidence == "high" || e.confidence == "medium") && e.anchor == null)
+        w += s"Edge ${e.id}: HIGH/MEDIUM confidence requires anchor"
+      if (e.confidence == "inferred" && (e.explanation == null || e.explanation.isEmpty))
+        w += s"Edge ${e.id}: INFERRED confidence requires explanation"
+    }
+
+    val memberCounts = edges.iterator
+      .flatMap(e => Option(e.supportGroupIds).getOrElse(Seq.empty))
+      .foldLeft(Map.empty[String, Int])((m, id) => m.updated(id, m.getOrElse(id, 0) + 1))
+    for (j <- js) {
+      if (!allIds.contains(j.targetId))
+        w += s"JustificationSet ${j.id}: target '${j.targetId}' not found"
+      if (memberCounts.getOrElse(j.id, 0) == 0)
+        w += s"JustificationSet ${j.id}: no edges belong to this set"
+    }
+
+    val seen = mutable.Set.empty[String]
+    for (n <- nodes.filterNot(_.nodeType == "outcome")) {
+      if (seen.contains(n.id)) w += s"Duplicate node ID: '${n.id}'"
+      seen += n.id
+    }
+    for (j <- js) {
+      if (seen.contains(j.id)) w += s"Duplicate node ID: '${j.id}'"
+      seen += j.id
+    }
+    val seenEdges = mutable.Set.empty[String]
+    for (e <- edges) {
+      if (seenEdges.contains(e.id)) w += s"Duplicate edge ID: '${e.id}'"
+      seenEdges += e.id
+    }
+
+    for (n <- nodes if n.nodeType != "outcome" && n.anchor != null) {
+      if (n.anchor.startChar < 0) w += s"Node ${n.id}: anchor start_char < 0"
+      if (n.anchor.endChar <= n.anchor.startChar)
+        w += s"Node ${n.id}: anchor end_char <= start_char"
+    }
+
+    nodes.find(_.nodeType == "outcome").foreach { o =>
+      val hasDetermining = edges.exists(e => e.target == o.id && e.relation == "determines")
+      if (!hasDetermining) w += "Outcome exists but no DETERMINES edge points to it"
+    }
+    w.toVector
+  }
+
   private val ErrorPatterns = List("error", "missing", "not found", "duplicate",
     "requires anchor", "doesn't match", "invalid", "failed", "exceeds")
   private val CosmeticPatterns = List("repaired", "coerced", "normalized", "flipped")

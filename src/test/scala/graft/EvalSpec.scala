@@ -90,6 +90,36 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hi - lo < 0.05) // tight for near-constant diffs
   }
 
+  test("annotation-mode qrels: df band, graded relevance, deterministic queries") {
+    import spark.implicits._
+    // controlled fixture: 20 convs; IN_BAND in 5 (mixed grades), RARE in 2
+    // (below min df 3), BROAD in 10 (above the 25% cap of 5), EDGE in 3
+    def concept(conv: Int, cid: String, relevance: String) =
+      (f"conv_$conv%03d", s"c_$cid$conv", "concept", cid, relevance)
+    val rows =
+      (0 until 5).map(i => concept(i, "IN_BAND", if (i == 0) "central" else "mentioned")) ++
+        (0 until 2).map(i => concept(i, "RARE", "supporting")) ++
+        (0 until 10).map(i => concept(i, "UNLISTED_BROAD_ONE", "mentioned")) ++
+        (0 until 3).map(i => concept(i + 10, "UNLISTED_EDGE_CASE", "supporting")) ++
+        (10 until 30).map(i => (f"conv_$i%03d", s"f$i", "fact", null: String, null: String))
+    val nodes = rows.toDF("convId", "id", "nodeType", "conceptId", "relevance")
+    val (queries, qrels) = Qrels.annotationQrels(nodes, nQueries = 10)
+    val qs = queries.collect().map(r => (r.getString(0), r.getString(1))).toList
+    // corpus = 30 distinct convs → max df 7; BROAD (10) and RARE (2) excluded
+    assert(qs.map(_._1).toSet == Set("IN_BAND", "UNLISTED_EDGE_CASE"), qs.toString)
+    // query text: UNLISTED_ prefix stripped, underscores to spaces
+    assert(qs.toMap.apply("UNLISTED_EDGE_CASE") == "EDGE CASE")
+    assert(qs.toMap.apply("IN_BAND") == "IN BAND")
+    // graded relevance from the relevance map
+    val grades = qrels.collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(grades.filter(_._1 == "IN_BAND").map(_._3).toSet == Set(4, 1))
+    assert(grades.filter(_._1 == "UNLISTED_EDGE_CASE").forall(_._3 == 3))
+    // deterministic across recomputation
+    val (queries2, _) = Qrels.annotationQrels(nodes, nQueries = 10)
+    assert(queries2.collect().map(_.toString).sorted.toSeq ==
+      queries.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("end-to-end: regex qrels -> TF-IDF vs BM25 -> metrics -> significance") {
     import spark.implicits._
     val transcripts = (0 until 40)

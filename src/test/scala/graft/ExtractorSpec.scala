@@ -27,6 +27,31 @@ class ExtractorSpec extends AnyFunSuite {
 
   lazy val g = DocExtractor.extract("conv_fix", turns)
 
+  test("full graph validation: clean on extracted graphs, reference-format warnings on broken ones") {
+    import graft.kg.extract.GraphAssembly
+    // the extractor's own output validates clean
+    assert(GraphAssembly.validateGraph(g.nodes, g.edges, g.justificationSets).isEmpty,
+      GraphAssembly.validateGraph(g.nodes, g.edges, g.justificationSets).mkString("; "))
+    // planted violations produce the reference's exact warning formats
+    val badEdge = g.edges.head.copy(id = "e_bad", source = "zz9",
+      supportGroupIds = Seq("js99"), confidence = "high", anchor = null)
+    val w = GraphAssembly.validateGraph(g.nodes, g.edges :+ badEdge, g.justificationSets)
+    assert(w.exists(_ == "Edge e_bad: source 'zz9' not found"), w.mkString("; "))
+    assert(w.exists(_ == "Edge e_bad: support_group_id 'js99' not found"))
+    assert(w.exists(_ == "Edge e_bad: HIGH/MEDIUM confidence requires anchor"))
+    val dupNode = g.nodes.head
+    val w2 = GraphAssembly.validateGraph(g.nodes :+ dupNode, g.edges, g.justificationSets)
+    assert(w2.exists(_ == s"Duplicate node ID: '${dupNode.id}'"))
+    // orphan JS + target mismatch + missing DETERMINES
+    val looseJs = g.justificationSets.head.copy(id = "js98", targetId = "zz8")
+    val w3 = GraphAssembly.validateGraph(g.nodes, g.edges, g.justificationSets :+ looseJs)
+    assert(w3.exists(_ == "JustificationSet js98: target 'zz8' not found"))
+    assert(w3.exists(_ == "JustificationSet js98: no edges belong to this set"))
+    val noDet = g.edges.filterNot(_.relation == "determines")
+    val w4 = GraphAssembly.validateGraph(g.nodes, noDet, g.justificationSets)
+    assert(w4.contains("Outcome exists but no DETERMINES edge points to it"))
+  }
+
   test("nodes and edges carry provenance; anchors expose secondary spans") {
     assert(g.nodes.forall(_.provenance != null))
     assert(g.nodes.forall(n => n.provenance.extractionMethod == n.method))
