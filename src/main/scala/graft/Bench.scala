@@ -80,7 +80,8 @@ object Bench {
       val transcripts = spark.read.parquet(transcriptsPath)
       val out = java.nio.file.Files.createTempDirectory("graft_bench_mat").toString
       val t0 = System.nanoTime()
-      val report = graft.kg.table.Materializer.run(spark, transcripts, out, nBuckets = 32)
+      val report = graft.kg.table.Materializer.run(spark, transcripts, out,
+        nBuckets = 32, prePartitioned = true)
       val sec = (System.nanoTime() - t0) / 1e9
       (sec, report.rows.getOrElse("triples", 0L))
     } finally spark.stop()

@@ -108,11 +108,14 @@ object KgPipeline {
       spark: SparkSession,
       transcripts: DataFrame,
       jurisdiction: String = "in",
-      ontology: OntologyData = null): Dataset[ConvGraph] = {
+      ontology: OntologyData = null,
+      prePartitioned: Boolean = false): Dataset[ConvGraph] = {
     import spark.implicits._
     val ont = Option(ontology).getOrElse(Ontology.forJurisdiction(jurisdiction))
-    slimTurns(spark, transcripts)
-      .mapPartitions(it => perConversation(it, ont, jurisdiction)(Iterator.single(_)))
+    val slim =
+      if (prePartitioned) slimTurnsPrePartitioned(spark, transcripts)
+      else slimTurns(spark, transcripts)
+    slim.mapPartitions(it => perConversation(it, ont, jurisdiction)(Iterator.single(_)))
   }
 
   /** Fast path: run extraction and emit projected rows DIRECTLY from

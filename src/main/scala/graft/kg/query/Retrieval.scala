@@ -59,38 +59,63 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
   }
 
-  /** TF-IDF retrieval scores: sublinear tf (1 + ln tf), smooth idf
-    * (ln((1+N)/(1+df)) + 1), L2-normalized, cosine via term join
-    * (the distributed form of eval_retrieval_v2.py:649-660; unigrams).
-    * queries: (query_id, query_text). Returns (query_id, doc_id, score). */
-  def tfidfScores(
-      spark: SparkSession, docs: DataFrame, queries: DataFrame,
+  /** Materialized TF-IDF index: L2-normalized doc vectors + per-term idf.
+    * Corpus statistics are computed ONCE (eagerly pinned), after which any
+    * number of query batches score against the index without rescanning the
+    * corpus — the production shape at 100 TB, where doc vectors live as a
+    * bucketed table keyed by term. */
+  final case class TfidfIndex(
+      docVectors: DataFrame, // (doc_id, term, dw)
+      termIdf: DataFrame,    // (term, idf)
+      bigrams: Boolean)
+
+  /** Build the index: sublinear tf (1 + ln tf), smooth idf
+    * (ln((1+N)/(1+df)) + 1), L2 norms (eval_retrieval_v2.py:649-660). */
+  def buildTfidfIndex(
+      spark: SparkSession, docs: DataFrame,
       idCol: String = "conv_id", textCol: String = "doc_text",
-      bigrams: Boolean = true): DataFrame = {
+      bigrams: Boolean = true): TfidfIndex = {
     val tfs = termFreqs(docs, idCol, textCol, bigrams).localCheckpoint()
     val nDocs = docs.count().toDouble
     val dfs = tfs.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
       .withColumn("idf", log((lit(1.0) + lit(nDocs)) / (lit(1.0) + col("df"))) + 1.0)
+      .select(col("term"), col("idf"))
+      .localCheckpoint()
     val weights = tfs.join(dfs, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
     val norms = weights.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
     val docVec = weights.join(norms, "doc_id")
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("dw"))
+      .localCheckpoint()
+    TfidfIndex(docVec, dfs, bigrams)
+  }
 
-    val qtf = termFreqs(queries, "query_id", "query_text", bigrams)
+  /** Score a query batch against a prebuilt index. Query terms missing from
+    * the corpus drop out before the query norm, like the reference
+    * vectorizer's fixed vocabulary. */
+  def queryTfidfIndex(index: TfidfIndex, queries: DataFrame): DataFrame = {
+    val qtf = termFreqs(queries, "query_id", "query_text", index.bigrams)
       .withColumnRenamed("doc_id", "query_id")
-    val qw = qtf.join(dfs, "term")
+    val qw = qtf.join(index.termIdf, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
     val qnorms = qw.groupBy(col("query_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("qnorm"))
     val qVec = qw.join(qnorms, "query_id")
       .select(col("query_id"), col("term"), (col("w") / col("qnorm")).as("qw"))
-
-    qVec.join(docVec, "term")
+    qVec.join(index.docVectors, "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(sum(col("qw") * col("dw")), 6).as("score"))
   }
+
+  /** TF-IDF retrieval scores: one-shot build + query (identical numbers to
+    * index reuse). queries: (query_id, query_text). Returns
+    * (query_id, doc_id, score). */
+  def tfidfScores(
+      spark: SparkSession, docs: DataFrame, queries: DataFrame,
+      idCol: String = "conv_id", textCol: String = "doc_text",
+      bigrams: Boolean = true): DataFrame =
+    queryTfidfIndex(buildTfidfIndex(spark, docs, idCol, textCol, bigrams), queries)
 
   /** BM25 (k1=1.5, b=0.75; Robertson idf with +1 smoothing to keep it
     * positive) as distributed term-statistics joins

@@ -38,7 +38,8 @@ object Materializer {
       root: String,
       nBuckets: Int = 32,
       jurisdiction: String = "in",
-      ontology: OntologyData = null): Report = {
+      ontology: OntologyData = null,
+      prePartitioned: Boolean = false): Report = {
 
     val store = new SnapshotStore(root)
     val done = store.completedBuckets
@@ -53,8 +54,11 @@ object Materializer {
       return Report(store.snapshots.last.id, Nil, done.toList.sorted, Map.empty)
 
     // one extraction pass, persisted, fanned out to the 8 output tables
+    // the resume filter preserves within-partition order, so the
+    // pre-partitioned (shuffle-free) layout stays conversation-contiguous
     val graphs: org.apache.spark.sql.Dataset[ConvGraph] =
-      KgPipeline.graphs(spark, pending.drop("bucket"), jurisdiction, ontology)
+      KgPipeline.graphs(spark, pending.drop("bucket"), jurisdiction, ontology,
+        prePartitioned = prePartitioned)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def addBucket(df: DataFrame, convCol: String): DataFrame =

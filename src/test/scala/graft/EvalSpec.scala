@@ -120,6 +120,22 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
       queries.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("TF-IDF index reuse: two query batches, identical to one-shot scoring") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", "the spark join merge shuffle"), ("d2", "window filter scan spark"),
+      ("d3", "customer order line total"), ("d4", "join merge spark spark join"))
+      .toDF("conv_id", "doc_text")
+    val idx = Retrieval.buildTfidfIndex(spark, docs)
+    val qa = Seq((0, "spark join")).toDF("query_id", "query_text")
+    val qb = Seq((1, "customer order")).toDF("query_id", "query_text")
+    val a = Retrieval.queryTfidfIndex(idx, qa).collect().map(_.toString).sorted
+    val b = Retrieval.queryTfidfIndex(idx, qb).collect().map(_.toString).sorted
+    assert(a.nonEmpty && b.nonEmpty)
+    val oneShotA = Retrieval.tfidfScores(spark, docs, qa).collect().map(_.toString).sorted
+    assert(a.toSeq == oneShotA.toSeq)
+  }
+
   test("end-to-end: regex qrels -> TF-IDF vs BM25 -> metrics -> significance") {
     import spark.implicits._
     val transcripts = (0 until 40)
