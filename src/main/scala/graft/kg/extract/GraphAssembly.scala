@@ -91,6 +91,7 @@ object GraphAssembly {
       primaryJsFor: Map[String, String],
       nodeTypeById: Map[String, String]): Vector[ChainRow] = {
     val chains = ArrayBuffer.empty[ChainRow]
+    val structural = Set("resolves", "determines", "contributes_to")
     val edgesTo: Map[String, Vector[EdgeRow]] = edges.groupBy(_.target)
     for (issue <- issueIds; (hid, resolves) <- holdings if resolves == issue) {
       val factIds = ArrayBuffer.empty[String]
@@ -105,7 +106,7 @@ object GraphAssembly {
         if (!visited.contains(nid)) {
           visited += nid
           for (e <- edgesTo.getOrElse(nid, Vector.empty)
-               if !Set("resolves", "determines", "contributes_to").contains(e.relation)) {
+               if !structural.contains(e.relation)) {
             edgeIds += e.id
             if (e.isCritical) critical += e.source
             nodeTypeById.get(e.source) match {

@@ -109,19 +109,41 @@ object Relations {
     ("issue", "precedent") -> Set("addresses"),
     ("issue", "issue") -> Set("specializes", "conflicts_with", "requires"))
 
-  /** Longest-prefix-first node-id → type (extractor.py:609-633). */
+  /** Longest-prefix-first node-id → type (extractor.py:609-633).
+    * Allocation-free: this is called twice per edge in validate/repair and
+    * profiled as a top extraction frame before the rewrite. */
   def nodeTypeFromId(nodeId: String): String = {
+    if (nodeId == null || nodeId.isEmpty) return "unknown"
     if (nodeId == "outcome") return "outcome"
-    val prefixMap = List(
-      "js" -> "justification_set", "rc" -> "reasoning_chain",
-      "f" -> "fact", "c" -> "concept", "i" -> "issue",
-      "a" -> "argument", "h" -> "holding", "p" -> "precedent")
-    for ((prefix, ntype) <- prefixMap if nodeId.startsWith(prefix)) {
-      val suffix = nodeId.substring(prefix.length)
-      if (suffix.nonEmpty && (suffix.forall(_.isDigit) || suffix.charAt(0) == '_'))
-        return ntype
+    // suffix rule: non-empty AND (all digits OR starts with '_')
+    def suffixOk(from: Int): Boolean = {
+      val n = nodeId.length
+      if (from >= n) return false
+      if (nodeId.charAt(from) == '_') return true
+      var i = from
+      while (i < n) {
+        val ch = nodeId.charAt(i)
+        if (ch < '0' || ch > '9') return false
+        i += 1
+      }
+      true
     }
-    "unknown"
+    val c0 = nodeId.charAt(0)
+    if (nodeId.length >= 2) {
+      val c1 = nodeId.charAt(1)
+      if (c0 == 'j' && c1 == 's' && suffixOk(2)) return "justification_set"
+      if (c0 == 'r' && c1 == 'c' && suffixOk(2)) return "reasoning_chain"
+    }
+    val single = c0 match {
+      case 'f' => "fact"
+      case 'c' => "concept"
+      case 'i' => "issue"
+      case 'a' => "argument"
+      case 'h' => "holding"
+      case 'p' => "precedent"
+      case _   => null
+    }
+    if (single != null && suffixOk(1)) single else "unknown"
   }
 
   /** Validate a relation against the matrix (extractor.py:635-653). */
