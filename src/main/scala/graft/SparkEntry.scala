@@ -379,6 +379,11 @@ object SparkEntry {
         KgPipeline.nodesDirect(s, t).toDF(), KgPipeline.edgesDirect(s, t).toDF())
         .orderBy(col("conv_id"))
     }),
+    // --- S5 per-case artifact export in the reference's JSON format ---
+    "kg_json_export" -> ((s, dir) => {
+      graft.kg.io.GraphJsonWriter.corpus(s, kgGraphs(s, dir))
+        .orderBy(col("case_id"))
+    }),
     "kg_orphans" -> ((s, dir) => {
       val g = kgGraphs(s, dir)
       KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))
