@@ -34,6 +34,25 @@ object Significance {
   def significanceLabel(p: Double): String =
     if (p < 0.01) "**" else if (p < 0.05) "*" else "n.s."
 
+  /** McNemar's test between two binary prediction sets against true labels
+    * (eval_ablation.py:368-380): continuity-corrected chi² over the
+    * discordant pairs, 3.841 = chi²(1df) at alpha 0.05. Returns
+    * (chi2, significanceText). */
+  def mcnemarTest[T](predsA: Seq[T], predsB: Seq[T], truth: Seq[T]): (Double, String) = {
+    require(predsA.length == predsB.length && predsA.length == truth.length)
+    var aRbW = 0
+    var aWbR = 0
+    for (((a, b), t) <- predsA.zip(predsB).zip(truth)) {
+      if (a == t && b != t) aRbW += 1
+      if (a != t && b == t) aWbR += 1
+    }
+    val denom = aRbW + aWbR
+    if (denom == 0) return (0.0, "n/a")
+    val chi2 = math.pow(math.abs(aRbW - aWbR) - 1, 2) / denom
+    val sig = if (chi2 > 3.841) "p<0.05" else "p>=0.05 (n.s.)"
+    (math.rint(chi2 * 1000) / 1000, sig)
+  }
+
   /** Seeded bootstrap 95% CI for the paired mean difference mean(a) - mean(b)
     * (eval_ablation.py:382-393 shape, metric-valued instead of 0/1
     * accuracy). Deterministic for a fixed seed. */

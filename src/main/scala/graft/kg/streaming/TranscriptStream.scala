@@ -77,6 +77,24 @@ object TranscriptStream {
 
   /** Watermarked sliding-window event rollup (the events-table analog of the
     * batch q11): counts + sums per (window, event_type), append mode. */
+  /** Streaming exact dedup: emit only the FIRST document per content hash,
+    * with state bounded by the watermark (dropDuplicatesWithinWatermark —
+    * duplicates arriving within the lateness window are suppressed; state
+    * for old hashes is evicted, so a 100-TB/day stream does not accumulate
+    * unbounded hash state). The streaming face of Dedup.exact. */
+  def dedupStream(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("text_hash", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col(textCol), 256))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+      .select(idCol, textCol, tsCol, "text_hash")
+
   def eventRollup(
       events: DataFrame,
       window_ : String = "1 hour",

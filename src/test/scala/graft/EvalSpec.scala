@@ -79,6 +79,22 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rev.t + tt.t) < 1e-9 && math.abs(rev.p - tt.p) < 1e-12)
   }
 
+  test("McNemar: discordant-pair chi2 with continuity correction") {
+    val truth = Seq(1, 1, 1, 1, 0, 0, 0, 0, 1, 0)
+    // identical predictions → no discordant pairs
+    assert(Significance.mcnemarTest(truth, truth, truth) == (0.0, "n/a"))
+    // A right where B wrong on 8 of 10, B never right where A wrong
+    val a = truth
+    val b = truth.zipWithIndex.map { case (t, i) => if (i < 8) 1 - t else t }
+    val (chi2, sig) = Significance.mcnemarTest(a, b, truth)
+    assert(math.abs(chi2 - 49.0 / 8.0) < 0.001, chi2.toString)
+    assert(sig == "p<0.05")
+    // balanced disagreement → not significant
+    val c = truth.zipWithIndex.map { case (t, i) => if (i % 2 == 0) 1 - t else t }
+    val d = truth.zipWithIndex.map { case (t, i) => if (i % 2 == 1) 1 - t else t }
+    assert(Significance.mcnemarTest(c, d, truth)._2.contains("n.s."))
+  }
+
   test("bootstrap CI is deterministic, brackets the true difference") {
     val a = Seq.tabulate(40)(i => 0.6 + 0.01 * (i % 5))
     val b = Seq.tabulate(40)(i => 0.5 + 0.01 * ((i + 2) % 5))

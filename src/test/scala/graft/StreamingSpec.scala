@@ -59,6 +59,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(emitted.map(t => (t.subj, t.pred, t.obj)).toSet == batch)
   }
 
+  test("streaming exact dedup keeps first arrival per content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "text", "ts")
+    val out = TranscriptStream.dedupStream(df, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    val base = 1700000000000L
+    input.addData(Seq(
+      (1L, "alpha beta", new Timestamp(base)),
+      (2L, "gamma delta", new Timestamp(base + 1000)),
+      (3L, "alpha beta", new Timestamp(base + 2000)))) // dup of doc 1
+    q.processAllAvailable()
+    input.addData(Seq(
+      (4L, "alpha beta", new Timestamp(base + 3000)), // still within watermark
+      (5L, "epsilon", new Timestamp(base + 4000))))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").select("doc_id").as[Long].collect().sorted
+    // exactly one survivor per distinct text; duplicates 3 and 4 suppressed
+    assert(rows.toSeq == Seq(1L, 2L, 5L), rows.mkString(","))
+  }
+
   test("watermarked event rollup aggregates windows in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
