@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
-  /** Toulmin structure of each argument: classify in-edges into grounds /
-    * warrants / backing / rebuttals by source type + relation
-    * (get_toulmin_structure, schema_v2_1.py:781-806). */
+  /** Toulmin structure of each argument (get_toulmin_structure,
+    * schema_v2_1.py:781-806, matched EXACTLY): only SUPPORTS in-edges bucket
+    * into grounds/warrants/backing by source type; rebuttals are
+    * attacks/rebuts/undercuts of any source type; other relations (e.g. a
+    * fact that GROUNDS an argument) contribute nothing — the reference
+    * ignores them. Validated against fixtures computed from the published
+    * graphs (ReferenceParitySpec). */
   def toulmin(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val typed = edges.alias("e")
       .join(nodes.select(col("convId"), col("id"), col("nodeType")).alias("s"),
@@ -26,10 +30,10 @@ object GraphOps {
         col("e.relation").as("relation"))
     typed
       .withColumn("bucket",
-        when(col("relation").isin("rebuts", "undercuts", "attacks"), "rebuttals")
-          .when(col("src_type") === "fact", "grounds")
-          .when(col("src_type") === "concept", "warrants")
-          .when(col("src_type") === "precedent", "backing")
+        when(col("relation").isin("attacks", "rebuts", "undercuts"), "rebuttals")
+          .when(col("relation") === "supports" && col("src_type") === "fact", "grounds")
+          .when(col("relation") === "supports" && col("src_type") === "concept", "warrants")
+          .when(col("relation") === "supports" && col("src_type") === "precedent", "backing")
           .otherwise("other"))
       .groupBy(col("conv_id"), col("argument_id"))
       .agg(
@@ -39,8 +43,13 @@ object GraphOps {
         sort_array(collect_list(when(col("bucket") === "rebuttals", col("source")))).as("rebuttals"))
   }
 
-  /** Support structure per holding: grounding concepts, supporting facts and
-    * the JS membership (get_holding_support, schema_v2_1.py:807-836). */
+  /** Support structure per holding (get_holding_support,
+    * schema_v2_1.py:807-836, matched EXACTLY): `grounding_concepts` are the
+    * sources of ALL grounds in-edges (the reference collects them without a
+    * source-type filter), `supporting_facts` the fact-typed sources of
+    * supports in-edges, plus the ids of every justification set targeting
+    * the holding. Validated against fixtures computed from the published
+    * graphs (ReferenceParitySpec). */
   def holdingSupport(nodes: DataFrame, edges: DataFrame, js: DataFrame): DataFrame = {
     val in = edges.alias("e")
       .join(nodes.filter(col("nodeType") === "holding")
@@ -54,7 +63,7 @@ object GraphOps {
     val support = in.groupBy(col("conv_id"), col("holding_id"))
       .agg(
         sort_array(collect_list(when(
-          col("src_type") === "concept" && col("relation") === "grounds",
+          col("relation") === "grounds",
           col("source")))).as("grounding_concepts"),
         sort_array(collect_list(when(
           col("src_type") === "fact" && col("relation") === "supports",

@@ -97,6 +97,75 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(r => Option(r.getSeq[String](4)).exists(_.nonEmpty))) // js
   }
 
+  test("toulmin + holding support match the published graph methods on reference corpora") {
+    val fixtureUrl = getClass.getResource("/graft/ref_graphops_fixture.json")
+    assert(fixtureUrl != null)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fixture = mapper.readTree(fixtureUrl)
+    val dir = new java.io.File("/root/reference/iltur_graphs")
+    assume(dir.isDirectory)
+    implicit val nodeEnc = org.apache.spark.sql.Encoders.product[graft.kg.model.Node]
+    implicit val edgeEnc = org.apache.spark.sql.Encoders.product[graft.kg.model.EdgeRow]
+    implicit val jsEnc = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
+    var checked = 0
+    val it = fixture.elements()
+    while (it.hasNext) {
+      val c = it.next()
+      val g = graft.kg.io.RefGraphJson.parseFile(s"${dir.getPath}/${c.path("file").asText()}")
+      val n = spark.createDataset(g.nodes).toDF()
+      val e = spark.createDataset(g.edges).toDF()
+      val j = spark.createDataset(g.justificationSets).toDF()
+
+      def expected(field: String, idField: String): Map[String, Map[String, Seq[String]]] = {
+        val m = scala.collection.mutable.Map.empty[String, Map[String, Seq[String]]]
+        val fit = c.path(field).elements()
+        while (fit.hasNext) {
+          val x = fit.next()
+          val lists = scala.collection.mutable.Map.empty[String, Seq[String]]
+          val fields = x.fields()
+          while (fields.hasNext) {
+            val ent = fields.next()
+            if (ent.getValue.isArray) {
+              import scala.jdk.CollectionConverters._
+              lists(ent.getKey) = ent.getValue.elements().asScala.map(_.asText()).toSeq
+            }
+          }
+          m(x.path(idField).asText()) = lists.toMap
+        }
+        m.toMap
+      }
+
+      val expT = expected("toulmin", "argument_id")
+      val gotT = GraphOps.toulmin(n, e).collect().map { r =>
+        r.getString(1) -> Map(
+          "grounds" -> r.getSeq[String](2), "warrants" -> r.getSeq[String](3),
+          "backing" -> r.getSeq[String](4), "rebuttals" -> r.getSeq[String](5))
+      }.toMap
+      for ((aid, exp) <- expT) {
+        val got = gotT.getOrElse(aid,
+          Map("grounds" -> Nil, "warrants" -> Nil, "backing" -> Nil, "rebuttals" -> Nil))
+        assert(got == exp, s"toulmin $aid in ${c.path("file").asText()}")
+      }
+      // no extra non-empty structures beyond the fixture's arguments
+      assert(gotT.keySet.subsetOf(expT.keySet))
+
+      val expH = expected("holding_support", "holding_id")
+      val gotH = GraphOps.holdingSupport(n, e, j).collect().map { r =>
+        r.getString(1) -> Map(
+          "grounding_concepts" -> r.getSeq[String](2),
+          "supporting_facts" -> r.getSeq[String](3),
+          "justification_sets" -> Option(r.getSeq[String](4)).getOrElse(Seq.empty))
+      }.toMap
+      for ((hid, exp) <- expH) {
+        val got = gotH.getOrElse(hid, Map("grounding_concepts" -> Nil,
+          "supporting_facts" -> Nil, "justification_sets" -> Nil))
+        assert(got == exp, s"holding support $hid in ${c.path("file").asText()}")
+      }
+      checked += 1
+    }
+    assert(checked >= 15, s"only $checked graphs checked")
+  }
+
   test("counterfactual: removing the sole AND-support breaks the holding") {
     // hand-built micro graph: one holding, one primary AND js, one support edge
     val n = Seq(
