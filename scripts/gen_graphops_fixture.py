@@ -62,9 +62,38 @@ for f in sample:
         support.append(dict(holding_id=h["id"], grounding_concepts=sorted(concepts),
                             supporting_facts=sorted(facts), justification_sets=js_ids))
 
+    # trace_reasoning_path (schema_v2_1.py:890-910): BFS shortest path over
+    # edge-list-order adjacency; probe pairs = per chain (first fact -> its
+    # holding) and (holding -> outcome)
+    from collections import deque
+    adj = {}
+    for e in edges:
+        adj.setdefault(e["source"], []).append(e["target"])
+    def trace(start, end):
+        queue = deque([(start, [start])])
+        visited = {start}
+        while queue:
+            node, path = queue.popleft()
+            if node == end:
+                return path
+            for nb in adj.get(node, []):
+                if nb not in visited:
+                    visited.add(nb)
+                    queue.append((nb, path + [nb]))
+        return []
+    paths = []
+    outcome_id = (g.get("outcome") or {}).get("id")
+    for c in g.get("reasoning_chains") or []:
+        if c.get("fact_ids"):
+            paths.append(dict(start=c["fact_ids"][0], end=c["holding_id"],
+                              path=trace(c["fact_ids"][0], c["holding_id"])))
+        if outcome_id:
+            paths.append(dict(start=c["holding_id"], end=outcome_id,
+                              path=trace(c["holding_id"], outcome_id)))
+
     out.append(dict(case_id=g.get("case_id"), file=f.split('/')[-1],
-                    toulmin=toulmin, holding_support=support))
-    print(f"{f.split('/')[-1]}: {len(toulmin)} arguments, {len(support)} holdings")
+                    toulmin=toulmin, holding_support=support, paths=paths))
+    print(f"{f.split('/')[-1]}: {len(toulmin)} arguments, {len(support)} holdings, {len(paths)} paths")
 
 dst = '/root/repo/src/test/resources/graft/ref_graphops_fixture.json'
 json.dump(out, open(dst, 'w'), indent=1)

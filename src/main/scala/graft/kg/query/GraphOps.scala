@@ -125,7 +125,32 @@ object GraphOps {
         sort_array(collect_list(when(col("is_broken"), col("holding_id")))).as("broken_holdings"))
   }
 
-  /** Forward BFS reachability (trace_reasoning_path analog,
+  /** BFS shortest path start→end (trace_reasoning_path,
+    * schema_v2_1.py:890-910, matched EXACTLY): adjacency in edge-list order,
+    * first path found wins, empty when unreachable. Pure per-conversation
+    * function — a conversation graph is small; the corpus-scale variant is
+    * the reachability join below. Fixture-validated against paths computed
+    * from the published graphs (QuerySpec). */
+  def tracePath(edges: Seq[graft.kg.model.EdgeRow],
+                startId: String, endId: String): Seq[String] = {
+    val adj = scala.collection.mutable.LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+    edges.foreach(e =>
+      adj.getOrElseUpdate(e.source, scala.collection.mutable.ArrayBuffer.empty) += e.target)
+    val queue = scala.collection.mutable.Queue((startId, List(startId)))
+    val visited = scala.collection.mutable.Set(startId)
+    while (queue.nonEmpty) {
+      val (node, path) = queue.dequeue()
+      if (node == endId) return path.reverse
+      for (n <- adj.getOrElse(node, scala.collection.mutable.ArrayBuffer.empty)
+           if !visited.contains(n)) {
+        visited += n
+        queue += ((n, n :: path))
+      }
+    }
+    Seq.empty
+  }
+
+  /** Forward BFS reachability (trace_reasoning_path analog at corpus scale,
     * schema_v2_1.py:890-910), bounded iterative frontier⨝edges joins —
     * per-conversation graphs are small, depth ≤ maxDepth. */
   def reachable(

@@ -161,6 +161,18 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
           "supporting_facts" -> Nil, "justification_sets" -> Nil))
         assert(got == exp, s"holding support $hid in ${c.path("file").asText()}")
       }
+
+      // trace_reasoning_path parity: edge-list-order BFS shortest paths
+      val pit = c.path("paths").elements()
+      while (pit.hasNext) {
+        val p = pit.next()
+        import scala.jdk.CollectionConverters._
+        val expected = p.path("path").elements().asScala.map(_.asText()).toSeq
+        val got = GraphOps.tracePath(g.edges,
+          p.path("start").asText(), p.path("end").asText())
+        assert(got == expected,
+          s"path ${p.path("start").asText()}->${p.path("end").asText()} in ${c.path("file").asText()}")
+      }
       checked += 1
     }
     assert(checked >= 15, s"only $checked graphs checked")
