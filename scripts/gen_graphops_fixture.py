@@ -91,9 +91,55 @@ for f in sample:
             paths.append(dict(start=c["holding_id"], end=outcome_id,
                               path=trace(c["holding_id"], outcome_id)))
 
+    # counterfactual_remove_concept (schema_v2_1.py:836-886), verbatim at the
+    # dict level, probed for the first 5 concepts that ground or join a JS
+    js_list = g.get("justification_sets") or []
+    members_of = {j["id"]: [e["source"] for e in edges
+                            if j["id"] in (e.get("support_group_ids") or [])]
+                  for j in js_list}
+    def remove_concept(cid):
+        affected, unaffected = [], []
+        for h in g.get("holdings") or []:
+            sup_concepts = [e["source"] for e in edges
+                            if e["target"] == h["id"] and e["relation"] == "grounds"]
+            hjs = [j for j in js_list if j.get("target_id") == h["id"]]
+            if not hjs:
+                if cid in sup_concepts:
+                    affected.append(h["id"])
+                else:
+                    unaffected.append(h["id"])
+                continue
+            surviving = []
+            for j in hjs:
+                mem = members_of[j["id"]]
+                if cid in mem:
+                    if j["logic"] == "and":
+                        pass
+                    elif [m for m in mem if m != cid]:
+                        surviving.append(j["id"])
+                else:
+                    surviving.append(j["id"])
+            (unaffected if surviving else affected).append(h["id"])
+        outcome_affected = bool(affected) and any(
+            e["source"] in affected and e["relation"] == "determines" for e in edges)
+        return dict(concept=cid, affected=sorted(affected),
+                    unaffected=sorted(unaffected), outcome_affected=outcome_affected)
+    probe = []
+    seen = set()
+    for e in edges:
+        if e["relation"] == "grounds" and e["source"] not in seen:
+            seen.add(e["source"]); probe.append(e["source"])
+    for mem in members_of.values():
+        for m in mem:
+            if m not in seen:
+                seen.add(m); probe.append(m)
+    counterfactuals = [remove_concept(cid) for cid in probe[:5]]
+
     out.append(dict(case_id=g.get("case_id"), file=f.split('/')[-1],
-                    toulmin=toulmin, holding_support=support, paths=paths))
-    print(f"{f.split('/')[-1]}: {len(toulmin)} arguments, {len(support)} holdings, {len(paths)} paths")
+                    toulmin=toulmin, holding_support=support, paths=paths,
+                    counterfactuals=counterfactuals))
+    print(f"{f.split('/')[-1]}: {len(toulmin)} arguments, {len(support)} holdings, "
+          f"{len(paths)} paths, {len(counterfactuals)} counterfactuals")
 
 dst = '/root/repo/src/test/resources/graft/ref_graphops_fixture.json'
 json.dump(out, open(dst, 'w'), indent=1)

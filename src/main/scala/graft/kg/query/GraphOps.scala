@@ -105,6 +105,70 @@ object GraphOps {
       .select(col("conv_id"), col("holding_id"))
   }
 
+  /** Published-schema concept counterfactual (counterfactual_remove_concept,
+    * schema_v2_1.py:836-886, matched exactly; distinct from the extractor's
+    * v4 variant above): per holding, a justification set survives unless the
+    * removed concept is a member AND (logic is "and" OR it was the only
+    * member); a holding with justification sets is affected when none
+    * survive; a holding without any is affected when the concept directly
+    * grounds it. Returns (conv_id, holding_id, affected, reason) plus a
+    * DETERMINES-edge outcome flag via `counterfactualOutcomeFlag`. */
+  def counterfactualRemoveConcept(
+      nodes: DataFrame, edges: DataFrame, js: DataFrame,
+      conceptNodeId: String): DataFrame = {
+    val holdings = nodes.filter(col("nodeType") === "holding")
+      .select(col("convId").as("conv_id"), col("id").as("holding_id"))
+    // members of each justification set = sources of its member edges
+    val members = edges
+      .select(col("convId").as("conv_id"), col("source"),
+        explode(col("supportGroupIds")).as("js_id"))
+    val jsInfo = js.select(col("convId").as("conv_id"), col("id").as("js_id"),
+      col("targetId").as("holding_id"), col("logic"))
+    val perJs = jsInfo.join(members, Seq("conv_id", "js_id"), "left")
+      .groupBy(col("conv_id"), col("holding_id"), col("js_id"), col("logic"))
+      .agg(
+        count_if(col("source") === conceptNodeId).as("n_removed"),
+        count_if(col("source").isNotNull &&
+          col("source") =!= conceptNodeId).as("n_remaining"))
+      .withColumn("survives",
+        when(col("n_removed") === 0, true)
+          .otherwise(col("logic") =!= "and" && col("n_remaining") > 0))
+    val withJs = perJs.groupBy(col("conv_id"), col("holding_id"))
+      .agg((count_if(col("survives")) === 0).as("affected"))
+      .withColumn("reason",
+        when(col("affected"), "all justification paths broken"))
+    // holdings without any justification set: affected iff the concept
+    // directly grounds them
+    val grounded = edges.filter(col("relation") === "grounds" &&
+        col("source") === conceptNodeId)
+      .select(col("convId").as("conv_id"), col("target").as("holding_id"))
+      .distinct().withColumn("directly_grounded", lit(true))
+    val withoutJs = holdings
+      .join(jsInfo.select(col("conv_id"), col("holding_id")).distinct(),
+        Seq("conv_id", "holding_id"), "left_anti")
+      .join(grounded, Seq("conv_id", "holding_id"), "left")
+      .select(col("conv_id"), col("holding_id"),
+        coalesce(col("directly_grounded"), lit(false)).as("affected"),
+        when(coalesce(col("directly_grounded"), lit(false)),
+          "concept directly grounds holding (no justification sets defined)").as("reason"))
+    withJs.select(col("conv_id"), col("holding_id"), col("affected"), col("reason"))
+      .unionByName(withoutJs)
+  }
+
+  /** Outcome flag for counterfactualRemoveConcept: a conversation's outcome
+    * is affected when any DETERMINES edge originates from an affected
+    * holding (schema_v2_1.py:880-885). */
+  def counterfactualOutcomeFlag(
+      removed: DataFrame, edges: DataFrame): DataFrame = {
+    val det = edges.filter(col("relation") === "determines")
+      .select(col("convId").as("conv_id"), col("source").as("holding_id"))
+      .withColumn("has_det", lit(true))
+    removed.join(det, Seq("conv_id", "holding_id"), "left")
+      .groupBy(col("conv_id"))
+      .agg(max(col("affected") && coalesce(col("has_det"), lit(false)))
+        .as("outcome_affected"))
+  }
+
   /** Counterfactual with OUTCOME propagation (extractor.py:4430-4460): the
     * outcome is affected when every holding carrying a DETERMINES edge into
     * it becomes unsupported by the removal. Returns

@@ -162,6 +162,25 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
         assert(got == exp, s"holding support $hid in ${c.path("file").asText()}")
       }
 
+      // counterfactual_remove_concept parity
+      val cit = c.path("counterfactuals").elements()
+      while (cit.hasNext) {
+        val x = cit.next()
+        val cid = x.path("concept").asText()
+        import scala.jdk.CollectionConverters._
+        val expAffected = x.path("affected").elements().asScala.map(_.asText()).toSeq
+        val expOutcome = x.path("outcome_affected").asBoolean()
+        val removed = GraphOps.counterfactualRemoveConcept(n, e, j, cid)
+        val gotAffected = removed.filter(col("affected"))
+          .select("holding_id").collect().map(_.getString(0)).sorted.toSeq
+        assert(gotAffected == expAffected,
+          s"counterfactual $cid in ${c.path("file").asText()}")
+        val gotOutcome = GraphOps.counterfactualOutcomeFlag(removed, e)
+          .collect().headOption.exists(r => !r.isNullAt(1) && r.getBoolean(1))
+        assert(gotOutcome == expOutcome,
+          s"outcome flag for $cid in ${c.path("file").asText()}")
+      }
+
       // trace_reasoning_path parity: edge-list-order BFS shortest paths
       val pit = c.path("paths").elements()
       while (pit.hasNext) {
