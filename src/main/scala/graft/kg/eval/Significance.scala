@@ -34,6 +34,19 @@ object Significance {
   def significanceLabel(p: Double): String =
     if (p < 0.01) "**" else if (p < 0.05) "*" else "n.s."
 
+  /** Brier calibration score over (prediction, confidence, truth) triples
+    * (eval_ablation.py:355-365): squared error of the probability assigned
+    * to the true outcome — lower is better calibrated. */
+  def brierScore[T](preds: Seq[T], confidences: Seq[Double], truth: Seq[T]): Double = {
+    require(preds.length == confidences.length && preds.length == truth.length
+      && preds.nonEmpty)
+    val scores = preds.lazyZip(confidences).lazyZip(truth).map { (p, c, t) =>
+      val probTrue = if (p == t) c else 1.0 - c
+      (1.0 - probTrue) * (1.0 - probTrue)
+    }
+    math.rint(scores.sum / scores.length * 1e4) / 1e4
+  }
+
   /** McNemar's test between two binary prediction sets against true labels
     * (eval_ablation.py:368-380): continuity-corrected chi² over the
     * discordant pairs, 3.841 = chi²(1df) at alpha 0.05. Returns

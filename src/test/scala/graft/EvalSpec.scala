@@ -79,6 +79,15 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(rev.t + tt.t) < 1e-9 && math.abs(rev.p - tt.p) < 1e-12)
   }
 
+  test("Brier score: perfect confident predictions score 0, confident misses 1") {
+    val truth = Seq(1, 0, 1, 0)
+    assert(Significance.brierScore(truth, Seq(1.0, 1.0, 1.0, 1.0), truth) == 0.0)
+    val wrong = truth.map(1 - _)
+    assert(Significance.brierScore(wrong, Seq(1.0, 1.0, 1.0, 1.0), truth) == 1.0)
+    // half-confidence is 0.25 regardless of correctness
+    assert(Significance.brierScore(truth, Seq(0.5, 0.5, 0.5, 0.5), truth) == 0.25)
+  }
+
   test("McNemar: discordant-pair chi2 with continuity correction") {
     val truth = Seq(1, 1, 1, 1, 0, 0, 0, 0, 1, 0)
     // identical predictions → no discordant pairs

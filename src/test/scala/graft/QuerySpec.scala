@@ -28,6 +28,20 @@ class QuerySpec extends AnyFunSuite with BeforeAndAfterAll {
     KgPipeline.flatExtract(spark, transcripts)(_.justificationSets).toDF().cache()
   }
 
+  test("driver query plans: filter/projection pushdown and broadcast joins") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists())
+    val plan02 = SparkEntry.queries("q02_filter_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan02.contains("PushedFilters") &&
+      plan02.contains("GreaterThanOrEqual(n_chars,300"), plan02.take(1500))
+    // projection pruning: the scan reads 3 columns, not the text blob
+    assert(!plan02.contains("text"), "text column should be pruned from the scan")
+    val plan07 = SparkEntry.queries("q07_join_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan07.contains("BroadcastHashJoin"), plan07.take(1500))
+  }
+
   test("linearization is stable and ordered by node type") {
     val a = Retrieval.linearizeStable(nodes).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
