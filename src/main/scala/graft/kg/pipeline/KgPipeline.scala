@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   * generated deserializer code must be able to instantiate it.) */
 final case class SlimTurn(conv_id: String, turn_idx: Int, text: String)
 
+/** Tagged union emitted by [[KgPipeline.nodesAndEdgesDirect]]: one extraction
+  * pass yields BOTH projections, so a caller that needs nodes and edges
+  * persists this dataset once instead of extracting twice. (Top-level +
+  * public for the Spark encoder.) */
+final case class NodeOrEdge(node: Option[Node], edge: Option[EdgeRow])
+
 object KgPipeline {
 
   /** Partition count for the conv_id exchange: cores × 4. The extraction
@@ -91,10 +97,49 @@ object KgPipeline {
       .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("text"))
       .write.mode("overwrite").parquet(path)
 
+  /** Read a layout written by [[writeConversationPartitioned]] with
+    * FILE-GRANULAR parallelism and a no-mid-file-split guarantee.
+    *
+    * Spark's default file bin-packing governs both properties and gets both
+    * wrong for this layout:
+    *  - small files are PACKED (`totalBytes` includes the 4 MB
+    *    `openCostInBytes` per file, so at 32 cores 128 small files collapse
+    *    to ~32 single-wave scan partitions, forfeiting straggler
+    *    amortization — measured 128 → 32 partitions on the bench layout);
+    *  - a file larger than `maxPartitionBytes` is byte-range SPLIT, and a
+    *    split at a row-group boundary cuts a conversation in two — the
+    *    downstream consecutive-run grouping would silently emit two
+    *    half-graphs for one conv_id.
+    * Setting `openCostInBytes == maxPartitionBytes > max(file size)` makes
+    * every file fill its own bin: exactly one whole file per task, asserted
+    * below. NOTE: the two file-source confs stay set on the session (Spark
+    * resolves them at execution planning, so they cannot be restored here);
+    * they only coarsen packing for other reads, never correctness. */
+  def readConversationPartitioned(spark: SparkSession, path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    require(files.nonEmpty, s"no part-files under $path")
+    val cap = math.max(files.map(_.getLen).max + 1, 32L * 1024 * 1024)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", cap.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", cap.toString)
+    val df = spark.read.parquet(path)
+    val parts = df.rdd.getNumPartitions
+    require(parts == files.length,
+      s"conversation-contiguous read wants 1 file per task; " +
+        s"got $parts partitions for ${files.length} files")
+    df
+  }
+
   /** Trusting read of the conversation-contiguous layout: no exchange, no
     * sort — every conversation's rows are already contiguous and ordered
     * within one file, and file boundaries never cut a conversation (each
-    * conv hashes to exactly one write partition = one file). */
+    * conv hashes to exactly one write partition = one file). Obtain the
+    * DataFrame via [[readConversationPartitioned]], which pins one whole
+    * file per task — a raw `spark.read.parquet` is subject to bin-packing
+    * (slow) and mid-file splits (silently wrong once files exceed
+    * `spark.sql.files.maxPartitionBytes`). */
   private def slimTurnsPrePartitioned(
       spark: SparkSession, transcripts: DataFrame): Dataset[SlimTurn] = {
     import spark.implicits._
@@ -168,13 +213,30 @@ object KgPipeline {
     flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned)(_.nodes)
   }
 
+  /** Extraction → nodes AND edges in ONE pass, as a tagged union. Persist
+    * the result and project with `flatMap(_.node)` / `flatMap(_.edge)`:
+    * extraction (the expensive stage) runs once, not once per projection. */
+  def nodesAndEdgesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in",
+      prePartitioned: Boolean = false): Dataset[NodeOrEdge] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[NodeOrEdge]
+    flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned) { g =>
+      g.nodes.iterator.map(n => NodeOrEdge(Some(n), None)) ++
+        g.edges.iterator.map(e => NodeOrEdge(None, Some(e)))
+    }
+  }
+
   /** Extraction → per-conversation summaries in one pass. */
   def summariesDirect(
       spark: SparkSession,
       transcripts: DataFrame,
-      jurisdiction: String = "in"): Dataset[ConvSummary] = {
+      jurisdiction: String = "in",
+      prePartitioned: Boolean = false): Dataset[ConvSummary] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[ConvSummary]
-    flatExtract(spark, transcripts, jurisdiction)(g => Iterator.single(g.summary))
+    flatExtract(spark, transcripts, jurisdiction, prePartitioned = prePartitioned)(
+      g => Iterator.single(g.summary))
   }
 
   def nodes(g: Dataset[ConvGraph]): Dataset[Node] = {

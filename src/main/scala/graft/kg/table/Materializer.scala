@@ -87,6 +87,20 @@ object Materializer {
       rowCounts(name) = spark.read.parquet(s"$root/$name").count()
     }
 
+    // split-integrity guard for the trusting shuffle-free read: if a
+    // mid-file split ever cut a conversation in two, the consecutive-run
+    // grouping would emit two half-graphs for one conv_id — one graph per
+    // conversation is the invariant. Cheap: one conv_id-only distinct over
+    // the input vs the already-written summaries count.
+    if (prePartitioned) {
+      val nConvs = pending.select(col("conv_id")).distinct().count()
+      val nGraphs = rowCounts("summaries")
+      require(nGraphs == nConvs,
+        s"pre-partitioned read integrity violated: $nGraphs graphs for " +
+          s"$nConvs conversations — a file was split mid-conversation " +
+          s"(read the layout via KgPipeline.readConversationPartitioned)")
+    }
+
     // per-bucket lineage: extraction counts from summaries + an
     // order-independent content hash over the triple set
     val summariesB = addBucket(KgPipeline.summaries(graphs).toDF(), "convId")

@@ -52,6 +52,53 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  test("readConversationPartitioned pins 1 file/task; raw reads can split conversations") {
+    import spark.implicits._
+    val df = transcriptsDF(60)
+    val dir = Files.createTempDirectory("graft_split").toString + "/t"
+    // the production layout, but with TINY parquet row groups so files carry
+    // many row groups (the 100-TB shape, where files exceed one row group)
+    df.repartition(2, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"), col("text"))
+      .write.option("parquet.block.size", "2048").parquet(dir)
+    val (oldMax, oldOpen) = (
+      spark.conf.get("spark.sql.files.maxPartitionBytes"),
+      spark.conf.get("spark.sql.files.openCostInBytes"))
+    try {
+      // adversarial session confs: byte-range splits bisect the files
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val raw = spark.read.parquet(dir)
+      assert(raw.rdd.getNumPartitions > 2, "expected the raw read to split files")
+      // the trusting read on a SPLIT file emits >1 graph for some conv_id —
+      // this is the silent-correctness cliff the pinned reader exists to close
+      val rawConvs = KgPipeline
+        .summariesDirect(spark, raw, prePartitioned = true)
+        .toDF().select(col("convId")).collect().map(_.getString(0))
+      assert(rawConvs.length > rawConvs.distinct.length,
+        "adversarial split no longer bisects conversations; tighten the confs")
+      // the pinned reader is immune: overrides the confs, one whole file per task
+      val pinned = KgPipeline.readConversationPartitioned(spark, dir)
+      assert(pinned.rdd.getNumPartitions == 2)
+      val a = KgPipeline.triplesDirect(spark, pinned, prePartitioned = true)
+        .collect().map(_.toString).sorted
+      val b = KgPipeline.triplesDirect(spark, df).collect().map(_.toString).sorted
+      assert(a.nonEmpty && a.toSeq == b.toSeq)
+      // and the materializer's integrity guard catches the split read
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      val root = Files.createTempDirectory("graft_split_mat").toString
+      val ex = intercept[IllegalArgumentException] {
+        Materializer.run(spark, spark.read.parquet(dir), root,
+          nBuckets = 4, prePartitioned = true)
+      }
+      assert(ex.getMessage.contains("integrity"))
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", oldOpen)
+    }
+  }
+
   test("materializer writes all tables, commits snapshot with lineage") {
     val root = Files.createTempDirectory("graft_mat").toString
     val report = Materializer.run(spark, transcriptsDF(60), root, nBuckets = 8)
