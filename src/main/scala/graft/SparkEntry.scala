@@ -238,13 +238,18 @@ object SparkEntry {
         .select(col("doc_id"), graft.data.TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
+    // static hash-derived anchors (integer-exact arithmetic) so a DuckDB
+    // oracle can mirror cell assignment + probing exactly; the k-means
+    // production path (ivfTopKKmeans over buildIvfIndex) trains on floats —
+    // not SQL-mirrorable — and is verified by the recall@10 ≥ 0.9 and
+    // determinism assertions in DataOpsSpec instead
     "q22_ivf_topk" -> ((s, dir) => {
       val base = pq(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
       val queries = base.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      graft.data.Similarity.ivfTopKKmeans(queries, base, dim = 64, cells = 16, nProbe = 4, k = 5)
+      graft.data.Similarity.ivfTopK(queries, base, dim = 64, cells = 16, nProbe = 4, k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
     "q23_media_features" -> ((s, dir) => {
@@ -312,12 +317,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // --- KG pipeline (no SQL oracle — rule-based extraction) ---
+    // --- KG pipeline family: NO DuckDB oracle is feasible for any kg_*
+    //     query, by construction — the driver's oracle can only read the
+    //     sf-dir parquet tables, while every kg_* query consumes the
+    //     DETERMINISTICALLY GENERATED transcripts table (TranscriptGen,
+    //     derived from the sf dir's document count) and runs the rule-based
+    //     extraction grammar on it, which SQL cannot replay. Compensating
+    //     evidence: ReferenceParitySpec replays chains / justification sets /
+    //     support groups / tiers over ALL published reference graphs and
+    //     orphan repair edge-for-edge vs the published script; the full
+    //     ScalaTest suite covers each query's operator. ---
     "kg_linearize" -> ((s, dir) => {
       graft.kg.query.Retrieval.linearizeStable(
         KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF())
         .orderBy(col("conv_id"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_conceptset_retrieval" -> ((s, dir) => {
       graft.kg.query.Retrieval.conceptSetScores(s,
         KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF(),
@@ -325,6 +340,7 @@ object SparkEntry {
           "DOCTRINE_PROPORTIONALITY_TEST", "MANIFEST_ARBITRARINESS"))
         .orderBy(col("query_cid"), col("conv_id"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_holding_support" -> ((s, dir) => {
       val t = transcripts(s, dir)
       implicit val e = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
@@ -341,26 +357,31 @@ object SparkEntry {
             array().cast("array<string>"))).as("justification_sets"))
         .orderBy(col("conv_id"), col("holding_id"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_triples" -> ((s, dir) => {
       KgPipeline.triples(KgPipeline.edges(kgGraphs(s, dir)))
         .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_relation_histogram" -> ((s, dir) => {
       KgPipeline.edges(kgGraphs(s, dir)).toDF()
         .groupBy(col("relation")).agg(count(lit(1)).as("n"))
         .orderBy(col("relation"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_node_histogram" -> ((s, dir) => {
       KgPipeline.nodes(kgGraphs(s, dir)).toDF()
         .groupBy(col("nodeType")).agg(count(lit(1)).as("n"))
         .orderBy(col("nodeType"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_tier_histogram" -> ((s, dir) => {
       val g = kgGraphs(s, dir)
       KgPipeline.tierHistogram(KgPipeline.summaries(g))
     }),
     // --- cross-conversation canonicalization (union-find over candidate
     //     name↔citation match edges; C1 lifted to corpus scale) ---
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_canonical_triples" -> ((s, dir) => {
       val t = transcripts(s, dir)
       val nodes = KgPipeline.nodesDirect(s, t).toDF()
@@ -368,11 +389,13 @@ object SparkEntry {
       graft.kg.canonical.Canonicalizer.canonicalTriples(s, nodes, edges)
         .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_entity_stats" -> ((s, dir) => {
       val nodes = KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF()
       graft.kg.canonical.Canonicalizer.entityStats(s, nodes)
         .orderBy(col("canonical_id"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_quality_scores" -> ((s, dir) => {
       val t = transcripts(s, dir)
       graft.kg.query.GraphQuality.score(
@@ -380,10 +403,12 @@ object SparkEntry {
         .orderBy(col("conv_id"))
     }),
     // --- S5 per-case artifact export in the reference's JSON format ---
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_json_export" -> ((s, dir) => {
       graft.kg.io.GraphJsonWriter.corpus(s, kgGraphs(s, dir))
         .orderBy(col("case_id"))
     }),
+    // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_orphans" -> ((s, dir) => {
       val g = kgGraphs(s, dir)
       KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))
@@ -571,6 +596,205 @@ object SparkEntry {
            SELECT p.dst, w.lbl FROM walk w JOIN pairs p ON p.src = w.id)
          SELECT id AS vec_id, min(lbl) AS canonical_id
          FROM walk GROUP BY id ORDER BY vec_id""",
+    "q18_simhash_pairs" ->
+      // independent brute-force route: per-doc simhash recomputed in SQL
+      // (FNV-1a per token via list_reduce in wraparound HUGEINT arithmetic,
+      // 64 per-bit sign votes), then ALL-pairs hamming <= 3 via xor+bit_count
+      // — the Spark side's quarter-bucket LSH candidates must find the same
+      // pairs (pigeonhole-exact for hamming <= 3, caps unhit at this scale)
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         t AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\W+'), x -> len(x) > 0) AS toks
+           FROM planted),
+         th AS (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::UBIGINT,
+                            [unicode(c)::UBIGINT for c in string_split(tok, '')]),
+               (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT
+             ) AS h
+           FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         votes AS (
+           SELECT doc_id, b,
+             sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM th, (SELECT unnest(generate_series(0, 63)) AS b)
+           GROUP BY doc_id, b),
+         sh AS (
+           SELECT t.doc_id,
+             coalesce((SELECT sum(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0 END)
+                       FROM votes WHERE votes.doc_id = t.doc_id), 0)::UBIGINT AS simhash
+           FROM t)
+         SELECT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY a, b""",
+    "q19_fingerprint_pairs" ->
+      // independent brute-force route: the winnowing fingerprint set
+      // recomputed in SQL (char-8-gram FNV rolling hashes, window-of-4
+      // SIGNED minima — the Scala loop compares signed longs), the same
+      // df > 64 postings drop, then all-pairs shared-fingerprint counts
+      """WITH planted AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         t AS (
+           SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s FROM planted),
+         hsu AS (
+           SELECT doc_id, s,
+             [list_reduce(
+                list_prepend(14695981039346656037::UBIGINT,
+                             [unicode(c)::UBIGINT for c in string_split(s[i:i+7], '')]),
+                (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT)
+              for i in generate_series(1, len(s) - 7)] AS hs_u
+           FROM t),
+         hss AS (
+           SELECT doc_id, s,
+             [CASE WHEN u >= 9223372036854775808::UBIGINT
+                   THEN (u::HUGEINT - 18446744073709551616)::BIGINT
+                   ELSE u::BIGINT END
+              FOR u IN hs_u] AS hs
+           FROM hsu),
+         w AS (
+           SELECT doc_id,
+             CASE WHEN len(s) < 8 THEN
+               [CASE WHEN u >= 9223372036854775808::UBIGINT
+                     THEN (u::HUGEINT - 18446744073709551616)::BIGINT
+                     ELSE u::BIGINT END
+                FOR u IN [list_reduce(
+                  list_prepend(14695981039346656037::UBIGINT,
+                               [unicode(c)::UBIGINT for c in string_split(s, '')]),
+                  (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT)]]
+             ELSE list_distinct([list_min(hs[i:i+3]) for i in generate_series(1, len(hs)-3)])
+             END AS wins
+           FROM hss),
+         fp AS (SELECT doc_id, unnest(wins) AS fp FROM w),
+         keepfp AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64),
+         kept AS (SELECT f.doc_id, f.fp FROM fp f JOIN keepfp USING(fp))
+         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 20
+         ORDER BY a, b""",
+    "q22_ivf_topk" ->
+      // full mirror of the static-anchor IVF: hash-derived anchors
+      // (wraparound FNV arithmetic, integer-exact), cell assignment by
+      // round-9 cosine argmax (ties -> highest cell, matching Spark's
+      // greatest(struct)), top-4 probe per query (ties -> lowest cell,
+      // matching the stable array_sort), then exact cosine top-k in the
+      // probed cells only
+      """WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         a1 AS (
+           SELECT c, i,
+             ((xor(14695981039346656037::UBIGINT, (c * 1315423911 + i)::UBIGINT)::HUGEINT
+               * 1099511628211) % 18446744073709551616)::UBIGINT AS h1
+           FROM (SELECT unnest(generate_series(0, 15)) AS c),
+                (SELECT unnest(generate_series(0, 63)) AS i)),
+         a2 AS (SELECT c, i, xor(h1, h1 >> 29) AS h2 FROM a1),
+         anchors AS (
+           SELECT c, list(((h2 & 65535)::DOUBLE / 65535.0) * 2.0 - 1.0 ORDER BY i) AS vec
+           FROM a2 GROUP BY c),
+         bassign AS (
+           SELECT vec_id, e, c,
+             round(list_inner_product(e, vec)
+               / (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(vec, vec))), 9) AS s
+           FROM base, anchors),
+         bcell AS (
+           SELECT vec_id, e, c AS cell FROM (
+             SELECT vec_id, e, c,
+               row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+             FROM bassign) t WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id < 5),
+         qassign AS (
+           SELECT query_id, qe, c,
+             round(list_inner_product(qe, vec)
+               / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(vec, vec))), 9) AS s
+           FROM q, anchors),
+         qprobe AS (
+           SELECT query_id, qe, c AS cell FROM (
+             SELECT query_id, qe, c,
+               row_number() OVER (PARTITION BY query_id ORDER BY s DESC, c ASC) AS rn
+             FROM qassign) t WHERE rn <= 4),
+         scored AS (
+           SELECT qp.query_id, b.vec_id,
+             list_inner_product(qp.qe, b.e)
+               / (sqrt(list_inner_product(qp.qe, qp.qe)) * sqrt(list_inner_product(b.e, b.e))) AS cos
+           FROM qprobe qp JOIN bcell b USING (cell)
+           WHERE b.vec_id <> qp.query_id)
+         SELECT query_id, vec_id, round(cos, 6) AS cosine, rank FROM (
+           SELECT query_id, vec_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+           FROM scored) t WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q23_media_features" ->
+      // full mirror of the deterministic media stub: per-row xorshift payload
+      // generation (recursive CTE in wraparound HUGEINT arithmetic), FNV-1a
+      // over SIGN-EXTENDED payload bytes, the salted field mixer with Java
+      // floorMod semantics, float32 feature cast, then the kind aggregates
+      """WITH RECURSIVE media AS (
+           SELECT i,
+             CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             64 + (i * 2654435761) % 192 AS ln,
+             ((i::HUGEINT * 11400714819323198485) % 18446744073709551616)::UBIGINT AS h0
+           FROM (SELECT unnest(generate_series(0, (SELECT count(*) - 1 FROM documents))) AS i)),
+         xs(i, j, h, ln) AS (
+           SELECT i, 0, h0, ln FROM media
+           UNION ALL
+           SELECT i, j + 1,
+             xor(
+               xor(
+                 xor(h, ((h::HUGEINT * 8192) % 18446744073709551616)::UBIGINT),
+                 xor(h, ((h::HUGEINT * 8192) % 18446744073709551616)::UBIGINT) >> 7),
+               ((xor(
+                   xor(h, ((h::HUGEINT * 8192) % 18446744073709551616)::UBIGINT),
+                   xor(h, ((h::HUGEINT * 8192) % 18446744073709551616)::UBIGINT) >> 7
+                 )::HUGEINT * 131072) % 18446744073709551616)::UBIGINT),
+             ln
+           FROM xs WHERE j < ln),
+         bytes AS (
+           SELECT i, j, h & 255 AS b FROM xs WHERE j >= 1),
+         blist AS (
+           SELECT i,
+             list(CASE WHEN b < 128 THEN b::UBIGINT
+                       ELSE (18446744073709551360::UBIGINT + b) END ORDER BY j) AS sext
+           FROM bytes GROUP BY i),
+         fnv AS (
+           SELECT i, list_reduce(
+               list_prepend(14695981039346656037::UBIGINT, sext),
+               (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT) AS h2
+           FROM blist),
+         feat AS (
+           SELECT m.i, m.kind,
+             CASE WHEN m.kind = 'audio' THEN 0 ELSE fld.w END AS width,
+             CASE WHEN m.kind = 'image' THEN 1 ELSE fld.nf END AS n_frames,
+             (fld.f0 / 1000.0)::FLOAT AS feat0
+           FROM media m JOIN fnv USING (i),
+           LATERAL (
+             SELECT
+               (((CASE WHEN x1w >= 9223372036854775808::UBIGINT
+                       THEN x1w::HUGEINT - 18446744073709551616 ELSE x1w::HUGEINT END % 1920) + 1920) % 1920 + 64)::BIGINT AS w,
+               (((CASE WHEN x1n >= 9223372036854775808::UBIGINT
+                       THEN x1n::HUGEINT - 18446744073709551616 ELSE x1n::HUGEINT END % 300) + 300) % 300 + 1)::BIGINT AS nf,
+               (((CASE WHEN x1f >= 9223372036854775808::UBIGINT
+                       THEN x1f::HUGEINT - 18446744073709551616 ELSE x1f::HUGEINT END % 2000) + 2000) % 2000 - 1000)::BIGINT AS f0
+             FROM (
+               SELECT xor(x0w, x0w >> 31) AS x1w, xor(x0n, x0n >> 31) AS x1n, xor(x0f, x0f >> 31) AS x1f
+               FROM (
+                 SELECT
+                   ((xor(h2, ((1::HUGEINT * 11400714819323198485) % 18446744073709551616)::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT AS x0w,
+                   ((xor(h2, ((3::HUGEINT * 11400714819323198485) % 18446744073709551616)::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT AS x0n,
+                   ((xor(h2, ((100::HUGEINT * 11400714819323198485) % 18446744073709551616)::UBIGINT)::HUGEINT * 1099511628211) % 18446744073709551616)::UBIGINT AS x0f
+               ) s0
+             ) s1
+           ) fld)
+         SELECT kind, count(*) AS n,
+           round(avg(width), 4) AS avg_width,
+           round(avg(n_frames), 4) AS avg_frames,
+           round(avg(feat0), 6) AS avg_feat0
+         FROM feat GROUP BY kind ORDER BY kind""",
     "q21_lang_id" ->
       // mirrors TextAnalysis.langId: per-profile score = 1000×(distinct
       // profile words present) + total profile-word token count; argmax with

@@ -136,9 +136,21 @@ object Dedup {
       k: Int = 64, bands: Int = 32, threshold: Double = 0.5,
       shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, k, shingleN)
-    val cand = minhashPairs(sigs, idCol, k, bands, threshold = 0.0)
+    // estimator pre-filter at threshold − 3σ: the k-permutation estimate of
+    // a true pair at J = t has σ = sqrt(t(1−t)/k) (binomial), so filtering
+    // candidates at t − 3σ (0.3125 for t=0.5, k=64) rejects a real near-dup
+    // with prob ~1e-4 — the same order as the banding miss bound above —
+    // while cutting the J≈0.2 co-bucket noise (candidate prob ≈ 0.73 at
+    // r=2×32 bands) before any shingle array is dragged through the join.
+    val sigma = math.sqrt(threshold * (1 - threshold) / k)
+    val cand = minhashPairs(sigs, idCol, k, bands,
+      threshold = math.max(0.0, threshold - 3 * sigma))
       .select(col("a"), col("b"))
-    val verified = exactJaccard(cand, df, idCol, textCol, shingleN)
+    // verify on compact hashed-shingle long arrays, not string arrays: the
+    // Jaccard of the 64-bit-hashed distinct shingle sets equals the string
+    // set's (collision prob ~n²/2⁶⁴, vanishing), at a fraction of the
+    // shuffle bytes and comparison cost.
+    val verified = exactJaccardHashed(cand, df, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"))
     numericCanonical(spark, df.select(col(idCol).as("id")), verified)
@@ -151,6 +163,24 @@ object Dedup {
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Exact n-gram Jaccard on 64-bit-HASHED shingle sets: identical joins to
+    * [[exactJaccard]] but each distinct shingle rides as one long instead of
+    * a string — same Jaccard value w.h.p. (hash collisions within a doc's
+    * shingle set are ~n²/2⁶⁴), far cheaper to shuffle and intersect. */
+  def exactJaccardHashed(
+      pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
