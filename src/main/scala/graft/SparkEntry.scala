@@ -283,6 +283,33 @@ object SparkEntry {
         .orderBy(col("query_id"), col("doc_id"))
     }),
 
+    // --- citation manifest: top-k regex-detected citations over the corpus
+    //     (citation_preprocess.py:332-360 lifted to table scale); the salad
+    //     corpus contains no citations, so deterministic AIR / SCC citations
+    //     are planted per doc_id — filter-derived, reconstructable in SQL ---
+    "q31_citation_manifest" -> ((s, dir) => {
+      val d = pq(s, dir, "documents")
+      val planted = d.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" AIR "), lit(1950) + col("doc_id") % 60,
+              lit(" SC "), lit(100) + col("doc_id") % 90)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" ("), lit(1990) + col("doc_id") % 30, lit(") "),
+              lit(1) + col("doc_id") % 9, lit(" SCC "),
+              lit(1) + col("doc_id") % 500)).otherwise(lit(""))).as("text"))
+      graft.kg.rules.CitationManifest.manifest(s, planted, "doc_id", "text", "in", maxItems = 50)
+    }),
+
+    // --- density-quartile validation table (cross_domain_density_validation
+    //     .py quartile analysis; ntile quartiles for cross-engine exactness,
+    //     the reference-exact percentile/digitize variant + z/t statistics
+    //     live in DensityValidation and are fixture-tested) ---
+    "q32_density_quartiles" -> ((s, dir) => {
+      graft.kg.eval.DensityValidation.quartileTable(
+        pq(s, dir, "documents"), "doc_id", "text", "lang")
+    }),
+
     // --- C7 commons tally: id-set intersection of two corpora ---
     "q26_commons_tally" -> ((s, dir) => {
       val early = pq(s, dir, "orders")
@@ -533,6 +560,76 @@ object SparkEntry {
            SELECT 'UNLISTED_CUSTOMER_ORDER' AS query_id, doc_id, 1 AS rel
            FROM documents WHERE regexp_matches(text, '(?i)(?:customer\s+order)'))
          ORDER BY query_id, doc_id""",
+    "q31_citation_manifest" ->
+      // same planted-citation construction + the two pattern families that
+      // can fire on it (AIR, SCC-paren), RE2-mirrored case-insensitively;
+      // grammar overlap-dedup is a no-op here (planted spans are disjoint)
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' AIR ' || (1950 + doc_id % 60)::VARCHAR ||
+                       ' SC ' || (100 + doc_id % 90)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0
+                  THEN ' (' || (1990 + doc_id % 30)::VARCHAR || ') ' ||
+                       (1 + doc_id % 9)::VARCHAR || ' SCC ' ||
+                       (1 + doc_id % 500)::VARCHAR ELSE '' END AS text
+           FROM documents),
+         hits AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text,
+               '(?i)\bAIR\s+\d{4}\s+(?:SC|Del|Bom|Mad|Cal|All|Ker|Kar|Pat|P&H|Guj|AP|HP|J&K|Ori|Raj|MP|Gau|Tri|NOC)\s+\d+')) AS citation,
+             'air' AS citation_type
+           FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\(\d{4}\)\s+\d{1,2}\s+SCC\s+\d+')) AS citation,
+             'scc' AS citation_type
+           FROM planted)
+         SELECT citation, citation_type,
+           count(DISTINCT doc_id) AS n_docs, count(*) AS n_hits
+         FROM hits GROUP BY 1, 2
+         ORDER BY n_docs DESC, citation ASC LIMIT 50""",
+    "q32_density_quartiles" ->
+      // density proxy (distinct tokens + tokens + punctuation per token),
+      // accuracy = langId prediction == lang label (q21's mirror), ntile(4)
+      // over the deterministic (density, doc_id) order
+      """WITH t AS (
+           SELECT doc_id, lang,
+             string_split_regex(lower(text), '\W+') AS ltoks,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+             regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS cjk,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+           FROM documents),
+         s AS (
+           SELECT doc_id, lang, toks, punct, cjk,
+             len(list_intersect(ltoks, ['the','and','of','to','is','that','for','with']))*1000
+               + len(list_filter(ltoks, x -> list_contains(['the','and','of','to','is','that','for','with'], x))) AS s_en,
+             len(list_intersect(ltoks, ['le','la','les','et','des','une','est','que']))*1000
+               + len(list_filter(ltoks, x -> list_contains(['le','la','les','et','des','une','est','que'], x))) AS s_fr,
+             len(list_intersect(ltoks, ['el','la','los','las','que','por','con','una']))*1000
+               + len(list_filter(ltoks, x -> list_contains(['el','la','los','las','que','por','con','una'], x))) AS s_es,
+             len(list_intersect(ltoks, ['der','die','das','und','ist','nicht','mit','ein']))*1000
+               + len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht','mit','ein'], x))) AS s_de
+           FROM t),
+         d AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN (len(list_distinct(toks)) + len(toks) + punct) * 1.0 / len(toks)
+                  ELSE 0.0 END AS density,
+             len(toks) AS tokens,
+             CASE WHEN (CASE WHEN cjk THEN 'zh'
+                   WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                   WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                   WHEN s_en >= s_de THEN 'en'
+                   ELSE 'de' END) = lang THEN 1 ELSE 0 END AS accuracy
+           FROM s),
+         q AS (
+           SELECT *, ntile(4) OVER (ORDER BY density, doc_id) AS quartile FROM d)
+         SELECT quartile, count(*) AS n,
+           round(avg(accuracy), 4) AS accuracy,
+           round(avg(density), 6) AS mean_density,
+           round(avg(tokens), 4) AS mean_tokens
+         FROM q GROUP BY quartile ORDER BY quartile""",
     "q26_commons_tally" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderdate < '1996-01-01'
          INTERSECT

@@ -57,8 +57,17 @@ object ConnectedComponents {
 
   /** edges(src, dst) → components(id, component) where component is the
     * lexicographically smallest reachable id (deterministic label). Isolated
-    * ids appear iff present as a self-edge or endpoint. */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * ids appear iff present as a self-edge or endpoint.
+    *
+    * Each round combines one hop of neighbor-min propagation with one
+    * POINTER-JUMPING step (relabel to the label's own label — labels are
+    * always node ids, so the lookup is a self-join). Jumping compresses
+    * label chains geometrically: convergence is O(log diameter) rounds, so
+    * a degenerate 10^6-node path needs ~20 rounds, not 10^6 — the property
+    * that makes the distributed branch safe for arbitrary candidate graphs
+    * at corpus scale, not just the small-diameter ones canonicalization
+    * usually produces. */
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 64): DataFrame = {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -77,15 +86,24 @@ object ConnectedComponents {
         .join(comps.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr"))
-      val next = comps.join(candidates, Seq("id"), "left")
+      val hop = comps.join(candidates, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
+      // pointer jump: component := component(component) — monotone (labels
+      // only decrease), halves label-chain length every round
+      val jump = hop.select(col("id").as("component"), col("component").as("comp2"))
+      val next = hop.join(jump, Seq("component"), "left")
+        .select(col("id"),
+          coalesce(col("comp2"), col("component")).as("component"))
         .localCheckpoint()
       changed = next.alias("n").join(comps.alias("c"), "id")
         .filter(col("n.component") =!= col("c.component")).count()
       comps = next
       iter += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents.run did NOT converge in $maxIter rounds — labels may be non-minimal")
     comps
   }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import graft.kg.eval.DensityValidation
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DensityValidation statistics vs an externally computed fixture: the
+  * expected r/t/z/p/d values below were produced by an independent Python
+  * implementation of the reference's formulas
+  * (cross_domain_density_validation.py:123-219 — Pearson/point-biserial,
+  * np.percentile + digitize quartiles, two-proportion z, Student t,
+  * Cohen's d) with a Numerical-Recipes incomplete-beta for the t CDF. */
+class DensityValidationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("graft-density-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val n = 100
+  private val density = Array.tabulate(n)(i => ((i * 37) % 100) / 25.0 + (i % 2) * 0.8)
+  private val accuracy = Array.tabulate(n)(i => if ((i * 7) % 10 < 4) 1 else 0)
+  private val tokens = Array.tabulate(n)(i => 100.0 + (i * 13) % 50)
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i, density(i), tokens(i), accuracy(i)))
+      .toDF("doc_id", "density", "tokens", "accuracy")
+  }
+
+  test("point-biserial correlation matches the independent fixture") {
+    val c = DensityValidation.pointBiserial(df, "accuracy", "density")
+    assert(math.abs(c.r - -0.07975578946272606) < 1e-9, c.r)
+    assert(math.abs(c.t - -0.792065210665207) < 1e-9, c.t)
+    assert(math.abs(c.p - 0.4302357637913429) < 1e-7, c.p)
+  }
+
+  test("np.percentile replica is linear-interpolation exact") {
+    val sorted = density.sorted
+    assert(math.abs(DensityValidation.percentile(sorted, 25) - 1.39) < 1e-12)
+    assert(math.abs(DensityValidation.percentile(sorted, 50) - 2.38) < 1e-12)
+    assert(math.abs(DensityValidation.percentile(sorted, 75) - 3.37) < 1e-12)
+  }
+
+  test("quartile analysis (digitize bins, two-proportion z) matches fixture") {
+    val rep = DensityValidation.quartileAnalysis(density, accuracy)
+    assert(rep.rows.map(_.n) == Seq(25L, 25L, 25L, 25L))
+    assert(rep.rows.map(_.accuracy) == Seq(0.48, 0.32, 0.48, 0.32))
+    assert(math.abs(rep.rows(1).meanDensity - 1.88) < 1e-12)
+    assert(math.abs(rep.z - -1.1547005383792512) < 1e-9, rep.z)
+    assert(math.abs(rep.p - 0.24821307898992373) < 1e-7, rep.p)
+  }
+
+  test("correct-vs-incorrect Student t + Cohen's d matches fixture") {
+    val g = DensityValidation.correctVsIncorrect(df, "accuracy", "tokens")
+    assert(math.abs(g.meanCorrect - 126.0) < 1e-9)
+    assert(math.abs(g.meanIncorrect - 123.5) < 1e-9)
+    assert(math.abs(g.t - 0.8432103104027656) < 1e-9, g.t)
+    assert(math.abs(g.p - 0.401164221566884) < 1e-7, g.p)
+    assert(math.abs(g.d - 0.1721195838617162) < 1e-9, g.d)
+  }
+
+  test("density proxy and quartile table are deterministic and total") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"alpha beta gamma${i % 7} delta. epsilon zeta " * (1 + i % 3), "en"))
+      .toDF("doc_id", "text", "lang")
+    val t1 = DensityValidation.quartileTable(docs, "doc_id", "text", "lang").collect()
+    val t2 = DensityValidation.quartileTable(docs.repartition(7), "doc_id", "text", "lang").collect()
+    assert(t1.map(_.toString).toSeq == t2.map(_.toString).toSeq)
+    assert(t1.map(_.getLong(1)).sum == 40)
+  }
+
+  test("citation manifest finds planted citations with the full grammar") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "as held in Maneka Gandhi v. Union of India AIR 1978 SC 597 the rule"),
+      (2L, "see AIR 1978 SC 597 and (2010) 5 SCC 100 for details"),
+      (3L, "no citations here at all")).toDF("doc_id", "text")
+    val m = graft.kg.rules.CitationManifest.manifest(s, docs, "doc_id", "text", "in")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(m.contains(("AIR 1978 SC 597", "air", 2L)))
+    assert(m.contains(("(2010) 5 SCC 100", "scc", 1L)))
+  }
+}

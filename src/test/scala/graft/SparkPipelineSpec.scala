@@ -166,6 +166,30 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("distributed CC on a skewed graph equals driver union-find (forced paths)") {
+    import spark.implicits._
+    // skewed candidate graph: one hot hub with 3000 spokes (the
+    // famous-precedent shape), a 150-node path (worst-case diameter for
+    // min-label propagation — converges only via pointer jumping), plus
+    // disjoint small components
+    val hub = (1 to 3000).map(i => ("hub", f"s$i%05d"))
+    val path = (1 until 150).map(i => (f"p$i%04d", f"p${i + 1}%04d"))
+    val rings = (0 until 50).flatMap(r =>
+      (0 until 4).map(i => (f"r$r%03d_$i", f"r$r%03d_${(i + 1) % 4}")))
+    val edges = (hub ++ path ++ rings).toDF("src", "dst")
+    // force the DISTRIBUTED branch (threshold 0) vs the driver union-find
+    val dist = graft.kg.canonical.ConnectedComponents.runAuto(spark, edges, localThreshold = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
+    val local = graft.kg.canonical.ConnectedComponents.runAuto(spark, edges, localThreshold = Long.MaxValue)
+      .collect().map(r => r.getString(0) -> r.getString(1)).sortBy(_._1)
+    assert(dist.length == local.length && dist.length == 3000 + 150 + 200 + 1)
+    assert(dist.toSeq == local.toSeq)
+    // spot-check labels: hub component labeled by the min id ("hub"),
+    // path labeled end-to-end by p0001
+    val m = dist.toMap
+    assert(m("s03000") == "hub" && m("p0150") == "p0001")
+  }
+
   test("canonicalization merges name and citation keys across conversations") {
     import spark.implicits._
     // conv A cites with name+citation; conv B cites the bare citation;
