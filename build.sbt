@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g: local[32] runs 32 concurrent extraction tasks + columnar caches in
+  // ONE JVM; an 8g heap measurably throttled the 32-core bench phase via GC
+  // (8→32 scaling 0.36 → 0.44 with headroom on the 128 GiB box)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

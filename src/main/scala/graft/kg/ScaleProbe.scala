@@ -20,12 +20,13 @@ object ScaleProbe {
           .flatMap(i => TranscriptGen.conversation(f"conv_$i%06d", 20))
           .toDF(), path, nFiles = 128)
     }
-    val tr = spark.read.parquet(path)
+    val tr = graft.kg.pipeline.KgPipeline.readConversationPartitioned(spark, path)
     println(s"turns: ${tr.count()}")
     val out = java.nio.file.Files.createTempDirectory("graft_scale_mat").toString
     val t0 = System.nanoTime()
     val report = graft.kg.table.Materializer.run(spark, tr, out, nBuckets = 128,
-      prePartitioned = true)
+      prePartitioned = true,
+      integrityCheck = sys.env.get("SPARK_GRAFT_NO_GUARD").isEmpty)
     val sec = (System.nanoTime() - t0) / 1e9
     val triples = report.rows.getOrElse("triples", 0L)
     println(f"MATERIALIZE $nConvs convs in $sec%.1f s => ${nConvs / sec}%.1f convs/s, $triples triples => ${triples / sec}%.1f triples/s")

@@ -27,14 +27,22 @@ object ConnectedComponents {
     val sym = edges.select(col("src"), col("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint()
-    if (sym.count() <= localThreshold) runLocal(spark, sym) else run(spark, sym)
+    // ONE bounded job decides the strategy AND feeds the local path:
+    // take(threshold+1) caps driver memory (vs a count job + a checkpoint
+    // job + a collect job — fixed per-job latency was the dominant cost of
+    // small canonicalization graphs at high core counts). Only the rare
+    // over-threshold graph pays a recompute when the distributed loop
+    // re-evaluates the distinct (then pinned via localCheckpoint inside run).
+    val cap = math.min(localThreshold, Int.MaxValue - 8L).toInt
+    val taken = sym.take(cap + 1)
+    if (taken.length <= cap)
+      runLocal(spark, taken.map(r => (r.getString(0), r.getString(1))))
+    else run(spark, sym)
   }
 
   /** Driver-side union-find over a (small, distinct) edge list. */
-  private def runLocal(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private def runLocal(spark: SparkSession, pairs: Array[(String, String)]): DataFrame = {
     import spark.implicits._
-    val pairs = edges.as[(String, String)].collect()
     val parent = scala.collection.mutable.Map.empty[String, String]
     def find(x: String): String = {
       var r = x

@@ -39,7 +39,8 @@ object Materializer {
       nBuckets: Int = 32,
       jurisdiction: String = "in",
       ontology: OntologyData = null,
-      prePartitioned: Boolean = false): Report = {
+      prePartitioned: Boolean = false,
+      integrityCheck: Boolean = true): Report = {
 
     val store = new SnapshotStore(root)
     val done = store.completedBuckets
@@ -92,7 +93,7 @@ object Materializer {
     // grouping would emit two half-graphs for one conv_id — one graph per
     // conversation is the invariant. Cheap: one conv_id-only distinct over
     // the input vs the already-written summaries count.
-    if (prePartitioned) {
+    if (prePartitioned && integrityCheck) {
       val nConvs = pending.select(col("conv_id")).distinct().count()
       val nGraphs = rowCounts("summaries")
       require(nGraphs == nConvs,

@@ -65,6 +65,69 @@ class DensityValidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(g.d - 0.1721195838617162) < 1e-9, g.d)
   }
 
+  test("REPLAYS the published cross-domain density results exactly") {
+    // the reference cached its SpaCy density features per sampled case
+    // (density_cache_n500.json) and published the resulting statistics
+    // (cross_domain_density_results.json); re-running our ported stats over
+    // the cached features + the published prediction files must reproduce
+    // the published r/p/t/d values for all 4 model×condition pairs
+    val refDir = new java.io.File("/root/reference")
+    assume(refDir.isDirectory && new java.io.File(refDir, "density_cache_n500.json").exists)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def load(f: String) = mapper.readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"/root/reference/$f")))
+    val cache = load("density_cache_n500.json")
+    val grok = load("graph_vs_raw_n2517_noscrub.json")
+    val sonnet = load("graph_vs_raw_n2517_noscrub_sonnet.json")
+    val expected = load("cross_domain_density_results.json")
+
+    def accMap(results: com.fasterxml.jackson.databind.JsonNode, predField: String): Map[String, Int] =
+      scala.jdk.CollectionConverters.IteratorHasAsScala(results.path("cases").elements()).asScala
+        .map(c => c.path("case_id").asText() ->
+          (if (c.path(predField).asInt(-9) == c.path("true_label").asInt(-8)) 1 else 0))
+        .toMap
+    val conds = Map(
+      "raw_grok" -> accMap(grok, "raw_pred"),
+      "graph_grok" -> accMap(grok, "graph_pred"),
+      "raw_sonnet" -> accMap(sonnet, "raw_pred"),
+      "graph_sonnet" -> accMap(sonnet, "graph_pred"))
+
+    val ids = scala.jdk.CollectionConverters.IteratorHasAsScala(cache.fieldNames()).asScala.toSeq.sorted
+    assert(ids.size == 500)
+    val s = spark
+    import s.implicits._
+    val rows = ids.map { id =>
+      val e = cache.path(id)
+      (id, e.path("density").asDouble(), e.path("token_count").asDouble(),
+        conds("raw_grok")(id), conds("graph_grok")(id),
+        conds("raw_sonnet")(id), conds("graph_sonnet")(id))
+    }
+    val df = rows.toDF("case_id", "density", "tokens",
+      "acc_raw_grok", "acc_graph_grok", "acc_raw_sonnet", "acc_graph_sonnet")
+
+    for (cond <- Seq("raw_grok", "graph_grok", "raw_sonnet", "graph_sonnet")) {
+      val exC = expected.path("correlations").path(cond)
+      val cd = DensityValidation.pointBiserial(df, s"acc_$cond", "density")
+      assert(math.abs(cd.r - exC.path("density_r").asDouble()) < 1e-9, s"$cond density_r ${cd.r}")
+      assert(math.abs(cd.p - exC.path("density_p").asDouble()) < 1e-6, s"$cond density_p ${cd.p}")
+      val ct = DensityValidation.pointBiserial(df, s"acc_$cond", "tokens")
+      assert(math.abs(ct.r - exC.path("tokens_r").asDouble()) < 1e-9, s"$cond tokens_r ${ct.r}")
+      assert(math.abs(ct.p - exC.path("tokens_p").asDouble()) < 1e-6, s"$cond tokens_p ${ct.p}")
+
+      val exG = expected.path("correct_vs_incorrect").path(cond)
+      val gd = DensityValidation.correctVsIncorrect(df, s"acc_$cond", "density")
+      assert(math.abs(gd.meanCorrect - exG.path("density_correct_mean").asDouble()) < 1e-9, s"$cond dm1")
+      assert(math.abs(gd.meanIncorrect - exG.path("density_incorrect_mean").asDouble()) < 1e-9, s"$cond dm0")
+      assert(math.abs(gd.t - exG.path("density_t").asDouble()) < 1e-9, s"$cond dt ${gd.t}")
+      assert(math.abs(gd.p - exG.path("density_p").asDouble()) < 1e-6, s"$cond dp")
+      assert(math.abs(gd.d - exG.path("density_d").asDouble()) < 1e-9, s"$cond dd")
+      val gt = DensityValidation.correctVsIncorrect(df, s"acc_$cond", "tokens")
+      assert(math.abs(gt.t - exG.path("tokens_t").asDouble()) < 1e-9, s"$cond tt ${gt.t}")
+      assert(math.abs(gt.p - exG.path("tokens_p").asDouble()) < 1e-6, s"$cond tp")
+      assert(math.abs(gt.d - exG.path("tokens_d").asDouble()) < 1e-9, s"$cond td")
+    }
+  }
+
   test("density proxy and quartile table are deterministic and total") {
     val s = spark
     import s.implicits._
