@@ -1,0 +1,57 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.kg.query.PromptBuilders
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** PromptBuilders vs the PUBLISHED eval_graph_vs_raw.py / eval_ablation.py,
+  * string-exact on 40 published graphs + pure-function probes
+  * (scripts/gen_prompts_fixture.py). */
+class PromptBuildersSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper()
+  private lazy val fx = mapper.readTree(
+    getClass.getResourceAsStream("/graft/prompts_fixture.json"))
+
+  test("blinded graph summaries + prompts are string-exact (40 graphs, both modes)") {
+    assume(new java.io.File("/root/reference/iltur_graphs").isDirectory)
+    var n = 0
+    for (c <- fx.path("cases").elements().asScala) {
+      val cid = c.path("case_id").asText()
+      val g = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/iltur_graphs/$cid.json")))
+      assert(PromptBuilders.blindedGraphSummary(g, noScrub = false) ==
+        c.path("summary_scrub").asText(), s"$cid scrub")
+      assert(PromptBuilders.blindedGraphSummary(g, noScrub = true) ==
+        c.path("summary_noscrub").asText(), s"$cid noscrub")
+      assert(PromptBuilders.graphPrompt(g, noScrub = true) ==
+        c.path("graph_prompt_noscrub").asText(), s"$cid prompt")
+      assert(PromptBuilders.flatPrompt(g) == c.path("flat_prompt").asText(), s"$cid flat")
+      assert(PromptBuilders.typedPrompt(g) == c.path("typed_prompt").asText(), s"$cid typed")
+      n += 1
+    }
+    assert(n == 40)
+  }
+
+  test("raw-text blinding is string-exact on all probe branches") {
+    for (p <- fx.path("blind_raw").elements().asScala) {
+      assert(PromptBuilders.blindRawText(p.path("text").asText()) ==
+        p.path("blinded").asText())
+    }
+  }
+
+  test("fact scrubbing incl. the first-100 fallback is string-exact") {
+    for (p <- fx.path("scrub").elements().asScala) {
+      assert(PromptBuilders.scrubFactText(p.path("text").asText()) ==
+        p.path("scrubbed").asText())
+    }
+  }
+
+  test("blinding sanity check warnings are string-exact") {
+    for (p <- fx.path("sanity").elements().asScala) {
+      val exp = p.path("warnings").elements().asScala.map(_.asText()).toSeq
+      assert(PromptBuilders.blindingSanityCheck(p.path("text").asText(), "L", "C") == exp)
+    }
+  }
+}
