@@ -22,6 +22,20 @@ def load(name, path):
 
 gvr = load("gvr", "/root/reference/eval_graph_vs_raw.py")
 abl = load("abl", "/root/reference/eval_ablation.py")
+gvs = load("gvs", "/root/reference/eval_graph_vs_structured.py")
+
+# structured-case summaries/prompts over published structured cases
+sc_files = sorted(Path('/root/reference/structured-nongraph-cases').glob('*.json'))
+sc_files = [f for f in sc_files if f.name != 'checkpoint.json'][4::80][:30]
+structured = []
+for f in sc_files:
+    d = json.load(open(f, encoding='utf-8'))
+    structured.append({
+        'case_id': f.stem,
+        'summary_scrub': gvs.build_blinded_structured_summary(d, no_scrub=False),
+        'summary_noscrub': gvs.build_blinded_structured_summary(d, no_scrub=True),
+        'prompt_scrub': gvs.build_structured_prompt(d, no_scrub=False),
+    })
 
 graph_files = sorted(Path('/root/reference/iltur_graphs').glob('*.json'))
 graph_files = [g for g in graph_files if g.name != 'checkpoint.json']
@@ -66,6 +80,7 @@ sanity = [{'text': t, 'warnings': gvr.blinding_sanity_check(t, 'L', 'C')}
 
 dest = Path('src/test/resources/graft/prompts_fixture.json')
 dest.write_text(json.dumps(
-    {'cases': cases, 'blind_raw': blind_probes, 'scrub': scrubs, 'sanity': sanity},
+    {'cases': cases, 'blind_raw': blind_probes, 'scrub': scrubs, 'sanity': sanity,
+     'structured': structured},
     indent=None, ensure_ascii=False), encoding='utf-8')
 print(f"wrote {len(cases)} cases, {len(blind_probes)} blind probes -> {dest}")

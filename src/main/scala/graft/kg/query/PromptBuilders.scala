@@ -267,6 +267,132 @@ object PromptBuilders {
       "Predict from the facts and arguments alone.\n\n" +
       "--- JUDGMENT EXCERPT ---\n" + text + "\n--- END EXCERPT ---\n\n" + PredictTail
 
+  /** eval_graph_vs_structured.py:263-269. */
+  private val OutcomeLeakRe = re(
+    "(?:appeal|petition|writ|application)\\s+" +
+      "(?:is|are|was|were|shall\\s+be|stands?)\\s+" +
+      "(?:dismissed|allowed|partly\\s+allowed|set\\s+aside|remanded|rejected|" +
+      "granted|refused|disposed\\s+of|accepted)")
+
+  /** build_blinded_structured_summary (eval_graph_vs_structured.py:272-416):
+    * the structured-case (non-graph) counterpart of the blinded graph
+    * summary — outcome/holdings/court_reasoning always stripped; scrub mode
+    * additionally filters outcome-leaking fact/argument text and drops
+    * precedent treatments; court key_quotes always excluded. */
+  def blindedStructuredSummary(struct: JsonNode, noScrub: Boolean = false): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val meta = struct.path("metadata")
+    val caseName = if (meta.isObject) s(meta, "case_name") else ""
+    if (caseName.nonEmpty) {
+      val court = s(meta, "court")
+      val year = {
+        val y = meta.path("case_year")
+        if (y.isNumber) y.asInt().toString else s(meta, "case_year")
+      }
+      var header = caseName
+      if (court.nonEmpty) {
+        header += s" ($court"
+        if (year.nonEmpty) header += s", $year"
+        header += ")"
+      }
+      parts += s"CASE: $header"
+    }
+
+    val facts = arr(struct, "facts")
+    if (facts.nonEmpty) {
+      parts += "FACTS:"
+      for (f <- facts.take(15)) {
+        val text = s(f, "text").take(300)
+        val keep = noScrub || !OutcomeLeakRe.matcher(text).find()
+        if (keep && text.nonEmpty) {
+          val source = s(f, "source")
+          val sourceStr = if (source.nonEmpty) s" ($source)" else ""
+          parts += s"  [${s(f, "type")}]$sourceStr $text"
+        }
+      }
+    }
+
+    val issues = arr(struct, "legal_issues")
+    if (issues.nonEmpty) {
+      parts += "ISSUES BEFORE THE COURT:"
+      for (iss <- issues.take(6)) parts += s"  - ${s(iss, "text").take(250)}"
+    }
+
+    for ((field, title) <- Seq(
+      "petitioner_arguments" -> "PETITIONER ARGUMENTS:",
+      "respondent_arguments" -> "RESPONDENT ARGUMENTS:")) {
+      val args = arr(struct, field)
+      if (args.nonEmpty) {
+        parts += title
+        for (a <- args.take(6)) {
+          val text = s(a, "text").take(300)
+          val keep = noScrub || !OutcomeLeakRe.matcher(text).find()
+          if (keep && text.nonEmpty) {
+            val basis = s(a, "legal_basis")
+            val basisStr = if (basis.nonEmpty) s" [Basis: $basis]" else ""
+            parts += s"  - $text$basisStr"
+          }
+        }
+      }
+    }
+
+    val precStrs = arr(struct, "precedents_cited").take(8).flatMap { p =>
+      val name = s(p, "case_name")
+      if (name.isEmpty) None
+      else {
+        var out = name
+        val cite = s(p, "citation")
+        if (cite.nonEmpty) out += s" ($cite)"
+        if (noScrub) {
+          val treatment = s(p, "treatment")
+          if (treatment.nonEmpty) out += s" — ${treatment.take(150)}"
+        }
+        Some(out)
+      }
+    }
+    if (precStrs.nonEmpty) parts += s"CITED PRECEDENTS: ${precStrs.mkString("; ")}"
+
+    val statStrs = arr(struct, "statutes_cited").take(6).flatMap { st =>
+      val name = s(st, "name")
+      if (name.isEmpty) None
+      else {
+        val raw = arr(st, "sections")
+        // Python slices FIRST ([:4]) and filters falsy inside the join
+        val secStr =
+          if (raw.nonEmpty)
+            s" (${raw.take(4).map(x => if (x.isTextual) x.asText() else "").filter(_.nonEmpty).mkString(", ")})"
+          else ""
+        Some(s"$name$secStr")
+      }
+    }
+    if (statStrs.nonEmpty) parts += s"STATUTES: ${statStrs.mkString("; ")}"
+
+    val counselQuotes = arr(struct, "key_quotes").filter(q =>
+      Set("petitioner_counsel", "respondent_counsel").contains(s(q, "speaker")))
+    if (counselQuotes.nonEmpty) {
+      parts += "KEY COUNSEL QUOTES:"
+      for (q <- counselQuotes.take(3)) {
+        val text = s(q, "text").take(200)
+        if (text.nonEmpty) parts += s"""  [${s(q, "speaker")}] "$text""""
+      }
+    }
+
+    parts.mkString("\n")
+  }
+
+  /** build_structured_prompt (eval_graph_vs_structured.py:481-491). NOTE the
+    * reference's tail line is a PLAIN string containing f-string-style
+    * doubled braces, so the emitted prompt literally ends in
+    * `{{"prediction" ... }}` — ported verbatim, quirk and all. */
+  def structuredPrompt(struct: JsonNode, noScrub: Boolean = false): String =
+    "Predict the outcome of this Indian Supreme Court case.\n" +
+      "The case has been organized into structured sections by an AI.\n" +
+      "The court's holdings, reasoning, and outcome have been removed — " +
+      "predict from the facts, issues, and party arguments alone.\n\n" +
+      blindedStructuredSummary(struct, noScrub) + "\n\n" +
+      "Predict: {{\"prediction\": 0 or 1, \"confidence\": 0.0-1.0, \"reasoning\": \"...\"}}"
+
   // --- ablation conditions (eval_ablation.py:60-208) ------------------------
 
   /** _extract_all_text (eval_ablation.py:60-112). */

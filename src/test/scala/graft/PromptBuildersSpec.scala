@@ -34,6 +34,24 @@ class PromptBuildersSpec extends AnyFunSuite {
     assert(n == 40)
   }
 
+  test("blinded STRUCTURED-case summaries + prompt are string-exact (30 cases)") {
+    assume(new java.io.File("/root/reference/structured-nongraph-cases").isDirectory)
+    var n = 0
+    for (c <- fx.path("structured").elements().asScala) {
+      val cid = c.path("case_id").asText()
+      val d = mapper.readTree(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"/root/reference/structured-nongraph-cases/$cid.json")))
+      assert(PromptBuilders.blindedStructuredSummary(d, noScrub = false) ==
+        c.path("summary_scrub").asText(), s"$cid scrub")
+      assert(PromptBuilders.blindedStructuredSummary(d, noScrub = true) ==
+        c.path("summary_noscrub").asText(), s"$cid noscrub")
+      assert(PromptBuilders.structuredPrompt(d, noScrub = false) ==
+        c.path("prompt_scrub").asText(), s"$cid prompt")
+      n += 1
+    }
+    assert(n == 30)
+  }
+
   test("raw-text blinding is string-exact on all probe branches") {
     for (p <- fx.path("blind_raw").elements().asScala) {
       assert(PromptBuilders.blindRawText(p.path("text").asText()) ==
