@@ -16,10 +16,9 @@ package graft.kg.eval
   * Replayed EXACTLY against the published *_confidence_analysis.json
   * artifacts (computed by the reference from its published prediction
   * files) in ConfidenceSweepSpec — every sweep row, strategy, calibration
-  * bin, ECE/Brier and AUACC value. The bootstrap CI fields are the one
-  * exception: they draw from numpy's MT19937, which is not reproducible
-  * without a generator port; [[Significance]] provides this engine's own
-  * seeded bootstrap.
+  * bin, ECE/Brier, AUACC value AND the seeded bootstrap CIs
+  * ([[bootstrapCIs]] drives a bit-exact [[NumpyRandom]] MT19937 replica,
+  * so nothing in the published artifacts is left unreplayed).
   */
 object ConfidenceSweep {
 
@@ -193,6 +192,66 @@ object ConfidenceSweep {
     }
     val g = binsFor(graph = true); val rw = binsFor(graph = false)
     Calibration(g, rw, ece(g), ece(rw), brier(graph = true), brier(graph = false))
+  }
+
+  final case class BootstrapCIs(
+      eceCi95: (Double, Double), brierCi95: (Double, Double))
+
+  /** The seeded bootstrap CIs for the ECE and Brier differences (raw −
+    * graph, :437-495) — numpy RandomState(seed) replicated bit-exactly via
+    * [[NumpyRandom]], so even these replay the published artifacts
+    * verbatim. */
+  def bootstrapCIs(cases: Seq[CasePred], nBoot: Int = 10000,
+                   seed: Long = 42L): BootstrapCIs = {
+    val n = cases.size
+    val arr = cases.toArray
+    def eceOf(idx: Array[Int], graph: Boolean): Double = {
+      var e = 0.0
+      for ((lo, hi) <- Bins) {
+        var cnt = 0; var confSum = 0.0; var correct = 0
+        var i = 0
+        while (i < idx.length) {
+          val c = arr(idx(i))
+          val conf = if (graph) c.graphConf else c.rawConf
+          if (lo <= conf && conf < hi) {
+            cnt += 1; confSum += conf
+            if ((if (graph) c.graphPred else c.rawPred) == c.trueLabel) correct += 1
+          }
+          i += 1
+        }
+        if (cnt > 0)
+          e += (cnt.toDouble / n) * math.abs(confSum / cnt - correct.toDouble / cnt)
+      }
+      e
+    }
+    def brierOf(idx: Array[Int], graph: Boolean): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < idx.length) {
+        val c = arr(idx(i))
+        val (p, conf) = if (graph) (c.graphPred, c.graphConf) else (c.rawPred, c.rawConf)
+        val pt = if (p == c.trueLabel) conf else 1.0 - conf
+        s += (1.0 - pt) * (1.0 - pt)
+        i += 1
+      }
+      s / idx.length
+    }
+    val rng = new NumpyRandom(seed)
+    val eceDiffs = new Array[Double](nBoot)
+    val brierDiffs = new Array[Double](nBoot)
+    var it = 0
+    while (it < nBoot) {
+      val idx = rng.choice(n, n)
+      eceDiffs(it) = eceOf(idx, graph = false) - eceOf(idx, graph = true)
+      brierDiffs(it) = brierOf(idx, graph = false) - brierOf(idx, graph = true)
+      it += 1
+    }
+    def ci(xs: Array[Double]): (Double, Double) = {
+      val sorted = xs.sorted
+      (r(DensityValidation.percentile(sorted, 2.5), 4),
+        r(DensityValidation.percentile(sorted, 97.5), 4))
+    }
+    BootstrapCIs(ci(eceDiffs), ci(brierDiffs))
   }
 
   /** compute_auacc (:316-332): trapezoid over (coverage, accuracy) points

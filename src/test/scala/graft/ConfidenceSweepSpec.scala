@@ -10,7 +10,8 @@ import scala.jdk.CollectionConverters._
   * *_confidence_analysis.json artifacts: the reference computed them from
   * its published prediction files, so re-running our port over the same
   * inputs must reproduce every sweep row, strategy, best pick, calibration
-  * bin, ECE/Brier and AUACC (bootstrap CI fields excepted — numpy MT19937). */
+  * bin, ECE/Brier, AUACC — and the seeded bootstrap CIs, via the bit-exact
+  * MT19937 replica in NumpyRandom. */
 class ConfidenceSweepSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
@@ -113,6 +114,22 @@ class ConfidenceSweepSpec extends AnyFunSuite {
     assert(cal.rawEce == expCal.path("raw_ece").asDouble())
     assert(cal.graphBrier == expCal.path("graph_brier").asDouble())
     assert(cal.rawBrier == expCal.path("raw_brier").asDouble())
+
+    val cis = bootstrapCIs(cs)
+    def pair(f: String) = {
+      val a = expCal.path(f).elements().asScala.toSeq
+      (a(0).asDouble(), a(1).asDouble())
+    }
+    assert(cis.eceCi95 == pair("ece_bootstrap_ci_95"), "ece CI")
+    assert(cis.brierCi95 == pair("brier_bootstrap_ci_95"), "brier CI")
+  }
+
+  test("NumpyRandom replicates numpy RandomState draw-for-draw") {
+    // expected values from np.random.RandomState(42) in the reference env
+    val rng = new graft.kg.eval.NumpyRandom(42)
+    assert(Seq.fill(5)(rng.interval(2516).toInt) == Seq(860, 1294, 1130, 1095, 1638))
+    val rng2 = new graft.kg.eval.NumpyRandom(42)
+    assert(math.abs(rng2.uniform(0, 1) - 0.3745401188473625) < 1e-16)
   }
 
   test("REPLAYS the published graph-vs-raw n2517 confidence analysis exactly") {
