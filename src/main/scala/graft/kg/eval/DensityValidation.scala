@@ -55,7 +55,13 @@ object DensityValidation {
     * deterministic total order both engines reproduce exactly, unlike
     * np.percentile edge interpolation whose last-ulp arithmetic is
     * engine-specific; the reference-exact percentile/digitize variant is
-    * [[quartileAnalysis]]. */
+    * [[quartileAnalysis]].
+    *
+    * Scale note: a global-ORDER-BY ntile window funnels all rows through
+    * one task — fine for this table's per-CASE rows (millions at 100 TB of
+    * raw text), the verification shape for the oracle. The corpus-scale
+    * binning path is approx-quantile edges (percentile_approx / the sampled
+    * [[quartileAnalysis]]) followed by a stateless range assignment. */
   def quartileTable(df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
     val d = perDoc(df, idCol, textCol, langCol)
     val w = Window.orderBy(col("density"), col(idCol))

@@ -34,6 +34,35 @@ object Significance {
   def significanceLabel(p: Double): String =
     if (p < 0.01) "**" else if (p < 0.05) "*" else "n.s."
 
+  /** eval_ablation.py:382-393 VERBATIM: seeded bootstrap 95% CI for the
+    * accuracy difference of two prediction sets — numpy RandomState(seed)
+    * replicated bit-exactly via [[NumpyRandom]] (test fixture computed with
+    * numpy itself), round-half-even to 4 dp like Python's round. */
+  def ablationBootstrapCi[T](
+      predsA: Seq[T], predsB: Seq[T], truth: Seq[T],
+      nBoot: Int = 10000, seed: Long = 42L): (Double, Double) = {
+    require(predsA.length == truth.length && predsB.length == truth.length)
+    val n = truth.length
+    val aRight = predsA.zip(truth).map(x => if (x._1 == x._2) 1.0 else 0.0).toArray
+    val bRight = predsB.zip(truth).map(x => if (x._1 == x._2) 1.0 else 0.0).toArray
+    val rng = new NumpyRandom(seed)
+    val diffs = new Array[Double](nBoot)
+    var it = 0
+    while (it < nBoot) {
+      val idx = rng.choice(n, n)
+      var sa = 0.0; var sb = 0.0
+      var i = 0
+      while (i < n) { sa += aRight(idx(i)); sb += bRight(idx(i)); i += 1 }
+      diffs(it) = sa / n - sb / n
+      it += 1
+    }
+    val sorted = diffs.sorted
+    def pyRound4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    (pyRound4(DensityValidation.percentile(sorted, 2.5)),
+      pyRound4(DensityValidation.percentile(sorted, 97.5)))
+  }
+
   /** Brier calibration score over (prediction, confidence, truth) triples
     * (eval_ablation.py:355-365): squared error of the probability assigned
     * to the true outcome — lower is better calibrated. */

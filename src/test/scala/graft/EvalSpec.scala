@@ -115,6 +115,17 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hi - lo < 0.05) // tight for near-constant diffs
   }
 
+  test("ablation bootstrap CI replicates numpy bit-exactly (MT19937 fixture)") {
+    // expected values computed with numpy RandomState(42) on this exact
+    // input (10,000 resamples): (0.0, 0.2333)
+    val n = 120
+    val predsA = (0 until n).map(i => (i * i * 7 + 3) % 5 % 2)
+    val predsB = (0 until n).map(i => (i * i * 11 + 1) % 7 % 2)
+    val trues = (0 until n).map(i => (i * i * 13 + 2) % 3 % 2)
+    val (lo, hi) = Significance.ablationBootstrapCi(predsA, predsB, trues)
+    assert(lo == 0.0 && hi == 0.2333, s"($lo, $hi)")
+  }
+
   test("annotation-mode qrels: df band, graded relevance, deterministic queries") {
     import spark.implicits._
     // controlled fixture: 20 convs; IN_BAND in 5 (mixed grades), RARE in 2
