@@ -211,6 +211,18 @@ object StructuredCases {
       reliefGranted = null)
   }
 
+  /** Structured case DIRECTLY from raw judgment text — the deterministic,
+    * LLM-free analog of structure_cases.py's purpose: the rule extractor
+    * runs on the text as a single-turn conversation, and the resulting
+    * graph is re-grouped into sections via [[fromGraph]]. A corpus of raw
+    * judgments becomes a drop-in structured-nongraph corpus with
+    * `toJson`, one case per task at scale. */
+  def fromRawText(caseId: String, text: String,
+                  jurisdiction: String = "in"): StructuredCase =
+    fromGraph(graft.kg.extract.DocExtractor.extract(
+      caseId, Seq(0 -> text),
+      graft.kg.ontology.Ontology.forJurisdiction(jurisdiction), jurisdiction))
+
   /** Serialize to the reference's JSON layout (structure_cases.py:134-219);
     * parse(toJson(x)) round-trips the populated fields. */
   def toJson(c: StructuredCase): String = {

@@ -88,6 +88,21 @@ class StructuredCasesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("raw text -> structured case via the rule engine (LLM-free analog)") {
+    val text = "The petitioner challenged the order under Article 14. " +
+      "As held in Maneka Gandhi v. Union of India, AIR 1978 SC 597, the " +
+      "procedure must be fair. The question is whether the order violates " +
+      "natural justice. We hold that the order fails. The appeal is allowed."
+    val sc = StructuredCases.fromRawText("raw_1", text)
+    assert(sc.caseId == "raw_1")
+    assert(sc.holdings.nonEmpty)
+    assert(sc.precedentsCited.exists(p =>
+      Option(p.ref).exists(_.contains("AIR 1978 SC 597"))))
+    assert(sc.disposition != null)
+    val back = StructuredCases.parse(sc.caseId, StructuredCases.toJson(sc)).get
+    assert(back == sc)
+  }
+
   test("corrupt json is skipped, not fatal") {
     assert(StructuredCases.parse("x", "{not json").isEmpty)
     assert(StructuredCases.parse("x", "[1,2,3]").isEmpty)
