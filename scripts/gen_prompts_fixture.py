@@ -23,6 +23,10 @@ def load(name, path):
 gvr = load("gvr", "/root/reference/eval_graph_vs_raw.py")
 abl = load("abl", "/root/reference/eval_ablation.py")
 gvs = load("gvs", "/root/reference/eval_graph_vs_structured.py")
+# eval_hybrid imports eval_concept_retrieval by module name
+sys.path.insert(0, "/root/reference")
+load("eval_concept_retrieval", "/root/reference/eval_concept_retrieval.py")
+ehy = load("ehy", "/root/reference/eval_hybrid.py")
 
 # structured-case summaries/prompts over published structured cases
 sc_files = sorted(Path('/root/reference/structured-nongraph-cases').glob('*.json'))
@@ -51,6 +55,9 @@ for gf in sample:
         'graph_prompt_noscrub': gvr.build_graph_prompt(g, no_scrub=True),
         'flat_prompt': abl.build_flat_prompt(g),
         'typed_prompt': abl.build_typed_prompt(g),
+        'compact_full': ehy._compact_graph_summary(g),
+        'compact_blind': ehy._compact_graph_summary(g, blind=True),
+        'compact_behavior': ehy._compact_graph_summary(g, hide_outcome=True),
     })
 
 # blind_raw_text probes: pure function — drive it with judgment-like texts

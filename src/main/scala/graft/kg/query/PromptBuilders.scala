@@ -248,6 +248,105 @@ object PromptBuilders {
     parts.mkString("\n")
   }
 
+  /** _compact_graph_summary (eval_hybrid.py:178-301): the ~200-400-token
+    * per-case serialization used as LLM CONTEXT for kNN-hybrid prediction.
+    * `blind` strips every outcome-revealing field (query cases);
+    * `hideOutcome` keeps court behavior but drops the final disposition
+    * ("behavior mode" neighbors). */
+  def compactGraphSummary(g: JsonNode, maxFacts: Int = 5, maxArgs: Int = 4,
+                          maxHoldings: Int = 3, maxPrecedents: Int = 3,
+                          blind: Boolean = false, hideOutcome: Boolean = false): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    val facts = {
+      val all = arr(g, "facts")
+      (all.filter(f => s(f, "fact_type") == "material") ++
+        all.filter(f => s(f, "fact_type") != "material")).take(maxFacts)
+    }
+    if (facts.nonEmpty) {
+      parts += "FACTS:"
+      for (f <- facts) parts += s"  [${s(f, "fact_type")}] ${s(f, "text").take(200)}"
+    }
+
+    val concepts = {
+      val all = arr(g, "concepts")
+      all.filter(c => s(c, "relevance") == "central") ++
+        all.filter(c => s(c, "relevance") == "supporting").take(3)
+    }
+    if (concepts.nonEmpty) {
+      parts += "LEGAL CONCEPTS:"
+      for (c <- concepts) {
+        val cid = { val v = c.path("concept_id"); if (v.isTextual) v.asText() else "unknown" }
+        val label = or(s(c, "unlisted_label"), cid.replace("UNLISTED_", "").replace("_", " "))
+        var line = s"  [${s(c, "relevance")}] $label"
+        val interp = s(c, "interpretation")
+        if (interp.nonEmpty && !blind) line += s" — ${interp.take(150)}"
+        parts += line
+      }
+    }
+
+    val issues = arr(g, "issues")
+    if (issues.nonEmpty) {
+      parts += "ISSUES:"
+      for (iss <- issues.take(4)) {
+        parts += s"  Q: ${s(iss, "text").take(200)}"
+        if (!blind) {
+          val answer = s(iss, "answer")
+          if (answer.nonEmpty) parts += s"  A: $answer"
+        }
+      }
+    }
+
+    val arguments = arr(g, "arguments")
+    val petArgs = arguments.filter(a =>
+      Set("petitioner", "appellant", "complainant", "prosecution").contains(s(a, "actor")))
+    val respArgs = arguments.filter(a => Set("respondent", "accused").contains(s(a, "actor")))
+    if (petArgs.nonEmpty || respArgs.nonEmpty) {
+      parts += "ARGUMENTS:"
+      for ((args, who) <- Seq(petArgs -> "Petitioner", respArgs -> "Respondent");
+           a <- args.take(maxArgs / 2)) {
+        parts += s"  [$who] ${s(a, "claim").take(200)}"
+        if (!blind) {
+          val resp = s(a, "court_response")
+          if (resp.nonEmpty) parts += s"    → Court: $resp"
+        }
+      }
+    }
+
+    if (!blind) {
+      val holdings = arr(g, "holdings")
+      if (holdings.nonEmpty) {
+        parts += "HOLDINGS:"
+        for (h <- holdings.take(maxHoldings)) {
+          parts += s"  ${s(h, "text").take(200)}"
+          val reasoning = s(h, "reasoning_summary")
+          if (reasoning.nonEmpty) parts += s"    Reasoning: ${reasoning.take(150)}"
+        }
+      }
+    }
+
+    val precStrs = arr(g, "precedents").take(maxPrecedents).map { pr =>
+      val name = or(s(pr, "case_name"), s(pr, "citation"))
+      if (blind) name
+      else {
+        // Python .get(field, "cited"): the default applies only when the
+        // KEY is absent, not when it holds an empty string
+        val t = pr.path("treatment")
+        val treatment = if (t.isMissingNode) "cited" else if (t.isNull) "None" else t.asText()
+        s"$name ($treatment)"
+      }
+    }
+    if (precStrs.nonEmpty) parts += s"PRECEDENTS: ${precStrs.mkString("; ")}"
+
+    if (!hideOutcome) {
+      val outcome = g.path("outcome")
+      if (outcome.isObject)
+        parts += s"OUTCOME: ${or(s(outcome, "disposition"), "unknown")}"
+    }
+
+    parts.mkString("\n")
+  }
+
   private val PredictTail =
     "Predict: {\"prediction\": 0 or 1, \"confidence\": 0.0-1.0, \"reasoning\": \"...\"}"
 

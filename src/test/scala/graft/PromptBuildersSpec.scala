@@ -29,6 +29,12 @@ class PromptBuildersSpec extends AnyFunSuite {
         c.path("graph_prompt_noscrub").asText(), s"$cid prompt")
       assert(PromptBuilders.flatPrompt(g) == c.path("flat_prompt").asText(), s"$cid flat")
       assert(PromptBuilders.typedPrompt(g) == c.path("typed_prompt").asText(), s"$cid typed")
+      assert(PromptBuilders.compactGraphSummary(g) ==
+        c.path("compact_full").asText(), s"$cid compact")
+      assert(PromptBuilders.compactGraphSummary(g, blind = true) ==
+        c.path("compact_blind").asText(), s"$cid compact blind")
+      assert(PromptBuilders.compactGraphSummary(g, hideOutcome = true) ==
+        c.path("compact_behavior").asText(), s"$cid compact behavior")
       n += 1
     }
     assert(n == 40)
