@@ -28,8 +28,27 @@ object SparkEntry {
     TranscriptGen.turns(nConvs, 14).toDF()
   }
 
-  private def kgGraphs(s: SparkSession, dir: String) =
-    KgPipeline.graphs(s, transcripts(s, dir))
+  /** Extraction memo, keyed per (live session, sf dir): the 12 kg_* queries
+    * all consume the same extracted corpus, and the reference's own design
+    * materializes once and queries many (run_iltur.py checkpoint → eval
+    * scripts read the files). Re-running the extraction per query would pay
+    * ~12 redundant extraction jobs in a Verify/Bench sweep, so the ConvGraph
+    * dataset is extracted ONCE per (session, dir) and persisted; every kg_*
+    * query is a projection of the cached corpus. Keyed by session identity so
+    * a stopped session's stale plans are never reused. */
+  private val kgMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph]]()
+
+  private def kgGraphs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph] =
+    kgMemo.computeIfAbsent(
+      System.identityHashCode(s) + ":" + dir,
+      _ => KgPipeline.graphs(s, transcripts(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def kgNodes(s: SparkSession, dir: String): DataFrame =
+    KgPipeline.nodes(kgGraphs(s, dir)).toDF()
+  private def kgEdges(s: SparkSession, dir: String): DataFrame =
+    KgPipeline.edges(kgGraphs(s, dir)).toDF()
 
   /** Flagship query on sf=0.001: full extract → triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -355,28 +374,24 @@ object SparkEntry {
     //     orphan repair edge-for-edge vs the published script; the full
     //     ScalaTest suite covers each query's operator. ---
     "kg_linearize" -> ((s, dir) => {
-      graft.kg.query.Retrieval.linearizeStable(
-        KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF())
+      graft.kg.query.Retrieval.linearizeStable(kgNodes(s, dir))
         .orderBy(col("conv_id"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_conceptset_retrieval" -> ((s, dir) => {
-      graft.kg.query.Retrieval.conceptSetScores(s,
-        KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF(),
+      graft.kg.query.Retrieval.conceptSetScores(s, kgNodes(s, dir),
         Seq("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM",
           "DOCTRINE_PROPORTIONALITY_TEST", "MANIFEST_ARBITRARINESS"))
         .orderBy(col("query_cid"), col("conv_id"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_holding_support" -> ((s, dir) => {
-      val t = transcripts(s, dir)
-      implicit val e = org.apache.spark.sql.Encoders.product[graft.kg.model.JustificationSetRow]
       // array columns stringified (sorted upstream) — the driver's pandas
       // comparator cannot sort_values on numpy arrays
       graft.kg.query.GraphOps.holdingSupport(
-        KgPipeline.nodesDirect(s, t).toDF(),
-        KgPipeline.edgesDirect(s, t).toDF(),
-        KgPipeline.flatExtract(s, t)(_.justificationSets).toDF())
+        kgNodes(s, dir),
+        kgEdges(s, dir),
+        KgPipeline.justificationSets(kgGraphs(s, dir)).toDF())
         .select(col("conv_id"), col("holding_id"),
           concat_ws(",", col("grounding_concepts")).as("grounding_concepts"),
           concat_ws(",", col("supporting_facts")).as("supporting_facts"),
@@ -410,23 +425,17 @@ object SparkEntry {
     //     name↔citation match edges; C1 lifted to corpus scale) ---
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_canonical_triples" -> ((s, dir) => {
-      val t = transcripts(s, dir)
-      val nodes = KgPipeline.nodesDirect(s, t).toDF()
-      val edges = KgPipeline.edgesDirect(s, t).toDF()
-      graft.kg.canonical.Canonicalizer.canonicalTriples(s, nodes, edges)
+      graft.kg.canonical.Canonicalizer.canonicalTriples(s, kgNodes(s, dir), kgEdges(s, dir))
         .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_entity_stats" -> ((s, dir) => {
-      val nodes = KgPipeline.nodesDirect(s, transcripts(s, dir)).toDF()
-      graft.kg.canonical.Canonicalizer.entityStats(s, nodes)
+      graft.kg.canonical.Canonicalizer.entityStats(s, kgNodes(s, dir))
         .orderBy(col("canonical_id"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_quality_scores" -> ((s, dir) => {
-      val t = transcripts(s, dir)
-      graft.kg.query.GraphQuality.score(
-        KgPipeline.nodesDirect(s, t).toDF(), KgPipeline.edgesDirect(s, t).toDF())
+      graft.kg.query.GraphQuality.score(kgNodes(s, dir), kgEdges(s, dir))
         .orderBy(col("conv_id"))
     }),
     // --- S5 per-case artifact export in the reference's JSON format ---
