@@ -321,11 +321,14 @@ object SparkEntry {
     }),
 
     // --- density-quartile validation table (cross_domain_density_validation
-    //     .py quartile analysis; ntile quartiles for cross-engine exactness,
-    //     the reference-exact percentile/digitize variant + z/t statistics
-    //     live in DensityValidation and are fixture-tested) ---
+    //     .py quartile analysis) on the CORPUS-SCALE plan: percentile_approx
+    //     edges + stateless digitize binning — no global window, no collect.
+    //     In the exact sketch regime (accuracy >= rows) the edges are the
+    //     elements at rank ceil(p*n), which the DuckDB oracle mirrors via
+    //     ORDER BY + OFFSET. The reference-exact percentile/digitize variant
+    //     + z/t statistics live in DensityValidation (fixture-tested). ---
     "q32_density_quartiles" -> ((s, dir) => {
-      graft.kg.eval.DensityValidation.quartileTable(
+      graft.kg.eval.DensityValidation.quantileBinTable(
         pq(s, dir, "documents"), "doc_id", "text", "lang")
     }),
 
@@ -600,8 +603,10 @@ object SparkEntry {
          ORDER BY n_docs DESC, citation ASC LIMIT 50""",
     "q32_density_quartiles" ->
       // density proxy (distinct tokens + tokens + punctuation per token),
-      // accuracy = langId prediction == lang label (q21's mirror), ntile(4)
-      // over the deterministic (density, doc_id) order
+      // accuracy = langId prediction == lang label (q21's mirror). Quartile
+      // edges mirror percentile_approx's exact regime: the element at rank
+      // ceil(p*n) (ORDER BY density OFFSET ceil(p*n)-1); bin = 1 + count of
+      // edges <= density (np.digitize convention, stateless both engines)
       """WITH t AS (
            SELECT doc_id, lang,
              string_split_regex(lower(text), '\W+') AS ltoks,
@@ -632,8 +637,20 @@ object SparkEntry {
                    WHEN s_en >= s_de THEN 'en'
                    ELSE 'de' END) = lang THEN 1 ELSE 0 END AS accuracy
            FROM s),
+         e AS (
+           SELECT
+             (SELECT density FROM d ORDER BY density
+              LIMIT 1 OFFSET cast(ceil(0.25 * (SELECT count(*) FROM d)) AS int) - 1) AS e1,
+             (SELECT density FROM d ORDER BY density
+              LIMIT 1 OFFSET cast(ceil(0.5 * (SELECT count(*) FROM d)) AS int) - 1) AS e2,
+             (SELECT density FROM d ORDER BY density
+              LIMIT 1 OFFSET cast(ceil(0.75 * (SELECT count(*) FROM d)) AS int) - 1) AS e3),
          q AS (
-           SELECT *, ntile(4) OVER (ORDER BY density, doc_id) AS quartile FROM d)
+           SELECT d.*,
+             1 + (CASE WHEN density >= e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN density >= e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN density >= e3 THEN 1 ELSE 0 END) AS quartile
+           FROM d, e)
          SELECT quartile, count(*) AS n,
            round(avg(accuracy), 4) AS accuracy,
            round(avg(density), 6) AS mean_density,

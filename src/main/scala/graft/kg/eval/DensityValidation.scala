@@ -51,21 +51,54 @@ object DensityValidation {
       (graft.data.TextAnalysis.langId(col(textCol)) === col(langCol))
         .cast("int").as("accuracy"))
 
-  /** Oracle-friendly quartile table: ntile(4) over (density, id) — a
-    * deterministic total order both engines reproduce exactly, unlike
-    * np.percentile edge interpolation whose last-ulp arithmetic is
-    * engine-specific; the reference-exact percentile/digitize variant is
-    * [[quartileAnalysis]].
-    *
-    * Scale note: a global-ORDER-BY ntile window funnels all rows through
-    * one task — fine for this table's per-CASE rows (millions at 100 TB of
-    * raw text), the verification shape for the oracle. The corpus-scale
-    * binning path is approx-quantile edges (percentile_approx / the sampled
-    * [[quartileAnalysis]]) followed by a stateless range assignment. */
+  /** LEGACY/test shape: ntile(4) over a global (density, id) ORDER BY
+    * window — a deterministic total order both engines reproduce exactly,
+    * but the window has no partition key, so every row funnels through one
+    * task ("No Partition Defined" warning). Kept for tests/comparison only;
+    * the benched + oracle-checked path is [[quantileBinTable]]. */
   def quartileTable(df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
     val d = perDoc(df, idCol, textCol, langCol)
     val w = Window.orderBy(col("density"), col(idCol))
     d.withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("accuracy")), 4).as("accuracy"),
+        round(avg(col("density")), 6).as("mean_density"),
+        round(avg(col("tokens")), 4).as("mean_tokens"))
+      .orderBy(col("quartile"))
+  }
+
+  /** Quantile edges via `percentile_approx` — ONE distributed aggregate (GK
+    * sketch, relative rank error 1/accuracy), no sort, no window, no
+    * value-vector collect; the corpus-scale edge source for billions of
+    * rows. In the exact regime (accuracy ≥ row count) the sketch returns
+    * precisely the element at rank ceil(p·n), which is what the q32 DuckDB
+    * oracle mirrors via ORDER BY + OFFSET; below that it is approximate
+    * with bounded rank error, which binning tolerates by design. */
+  def quantileEdgesApprox(
+      df: DataFrame, valueCol: String, probs: Seq[Double],
+      accuracy: Int = 1000000): Array[Double] =
+    df.agg(expr(s"percentile_approx($valueCol, array(${probs.mkString(",")}), $accuracy)"))
+      .head().getSeq[Double](0).toArray
+
+  /** Stateless np.digitize(right = false) range assignment: bin = count of
+    * edges ≤ x (0-based). Pure per-row expression — embarrassingly parallel,
+    * fully codegen'd, nothing global. */
+  def binByEdges(value: Column, edges: Seq[Double]): Column =
+    edges.map(e => (value >= lit(e)).cast("int")).reduceLeft(_ + _)
+
+  /** Corpus-scale density-quartile table (cross_domain_density_validation
+    * .py:144-185 semantics): approx-quantile edges broadcast into a
+    * stateless digitize assignment, then one hash aggregation. The plan is
+    * scan → partial agg (sketch) → scan → hash agg: no global window, no
+    * driver-side value vector — the shape that survives a 100× scale-up.
+    * `quartile` is 1-based like the legacy ntile table. */
+  def quantileBinTable(
+      df: DataFrame, idCol: String, textCol: String, langCol: String,
+      accuracy: Int = 1000000): DataFrame = {
+    val d = perDoc(df, idCol, textCol, langCol)
+    val edges = quantileEdgesApprox(d, "density", Seq(0.25, 0.5, 0.75), accuracy)
+    d.withColumn("quartile", binByEdges(col("density"), edges.toSeq) + lit(1))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("accuracy")), 4).as("accuracy"),

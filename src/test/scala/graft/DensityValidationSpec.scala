@@ -140,6 +140,50 @@ class DensityValidationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(t1.map(_.getLong(1)).sum == 40)
   }
 
+  test("quantileBinTable: approx-quantile edges + stateless digitize, no global window") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 200)
+      .map { i =>
+        // per-doc distinct vocabulary so densities are (mostly) unique —
+        // with heavy ties digitize legitimately collapses bins
+        val uniq = (0 to i % 17).map(j => s"w${i}x$j").mkString(" ")
+        (i.toLong, s"alpha beta gamma $uniq delta. epsilon zeta " * (1 + i % 4), "en")
+      }
+      .toDF("doc_id", "text", "lang")
+
+    val t = DensityValidation.quantileBinTable(docs, "doc_id", "text", "lang")
+    val rows = t.collect()
+    // all rows binned, 4 quartiles, deterministic under repartitioning
+    assert(rows.map(_.getLong(1)).sum == 200)
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val rows2 = DensityValidation
+      .quantileBinTable(docs.repartition(7), "doc_id", "text", "lang").collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+
+    // the benched plan must be window-free (the legacy ntile table funnels
+    // every row through one task; this one must not)
+    val plan = t.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+
+    // exact-regime edge semantics: element at rank ceil(p*n)
+    val d = DensityValidation.perDoc(docs, "doc_id", "text", "lang")
+    val dens = d.select("density").collect().map(_.getDouble(0)).sorted
+    val edges = DensityValidation.quantileEdgesApprox(d, "density", Seq(0.25, 0.5, 0.75))
+    val expected = Seq(0.25, 0.5, 0.75).map(p => dens(math.ceil(p * dens.length).toInt - 1))
+    assert(edges.toSeq == expected, s"${edges.toSeq} vs $expected")
+
+    // agreement with the driver-side reference analysis on bin counts:
+    // digitize against rank-based vs interpolated edges may differ by at
+    // most the few boundary rows between the two edge conventions
+    val acc = d.select("accuracy").collect().map(_.getInt(0))
+    val rep = DensityValidation.quartileAnalysis(dens, acc)
+    val approxCounts = rows.map(_.getLong(1))
+    rep.rows.map(_.n).zip(approxCounts).foreach { case (exact, approx) =>
+      assert(math.abs(exact - approx) <= 60, s"$exact vs $approx")
+    }
+  }
+
   test("citation manifest finds planted citations with the full grammar") {
     val s = spark
     import s.implicits._
