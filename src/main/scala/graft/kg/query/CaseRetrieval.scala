@@ -437,6 +437,13 @@ object CaseRetrieval {
   val Methods: Seq[String] = Seq(
     "majority_vote", "weighted_vote", "distance_decay_vote", "family_cluster_aggregate")
 
+  /** LOO is an eval-corpus operator: profiles are driver-resident and
+    * broadcast (the reference's own design — its eval corpora are ≤ ~2.5k
+    * cases). This cap makes corpus-scale misuse fail loudly instead of
+    * OOMing the driver; for per-query retrieval over a large corpus use
+    * [[retrieveSimilar]] against a distributed profile table instead. */
+  val MaxLooProfiles: Int = 100000
+
   /** Leave-one-out evaluation (run_leave_one_out, :828-884). With a
     * SparkSession the per-query work (retrieve + 4 votes) fans out over
     * broadcast profiles — embarrassingly parallel, no pairwise shuffle;
@@ -445,6 +452,11 @@ object CaseRetrieval {
       profiles: Seq[Profile], k: Int = 10, w: Weights = Weights(),
       textSim: Option[(String, String) => Double] = None,
       spark: Option[SparkSession] = None): Map[String, LooResult] = {
+    require(profiles.size <= MaxLooProfiles,
+      s"leaveOneOut holds all profiles on the driver and is meant for " +
+        s"eval corpora (<= $MaxLooProfiles profiles); got ${profiles.size}. " +
+        s"For corpus-scale retrieval use retrieveSimilar per query over a " +
+        s"distributed profile table.")
     val (ontoIdf, familyIdf) = idfMulti(profiles)
     val fuzzy = new FuzzyConceptIndex(profiles)
 
