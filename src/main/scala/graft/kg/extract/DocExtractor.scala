@@ -181,43 +181,64 @@ object DocExtractor {
       doc.sentences.map(s =>
         if (turkish) Normalize.turkishLower(s.text) else s.text.toLowerCase(Locale.ROOT))
 
+    // One Aho-Corasick pass per sentence over the ontology's full mention
+    // grammar (signal phrases + concept key phrases + establishing cases),
+    // replacing the per-phrase contains/indexOf loops. Emission re-imposes
+    // the legacy ordering contracts: signal hits per sentence in (pattern
+    // name, phrase order) — entry-id order by construction — and concept
+    // hits in concept-id order with key-phrase hits shadowing case hits
+    // (the scan loop only consulted establishing cases when no key phrase
+    // matched; offsets are min-over-occurrences either way).
+    val scan = if (turkish) ontology.compiledScanTurkish else ontology.compiledScan
     val signalHits = ArrayBuffer.empty[SignalHit]
-    val patterns = ontology.patterns.toList.sortBy(_._1)
+    val conceptHits = ArrayBuffer.empty[ConceptHit]
+    val concepts = ontology.concepts.toList.sortBy(_._1)
+    // per-sentence hit state as stamp arrays (stamp = sentence index): no
+    // per-hit boxing/hashing, no per-sentence clearing
+    val nEntries = scan.entries.length
+    val nConcepts = scan.conceptIds.length
+    val sigSeen = new Array[Int](math.max(1, nEntries))
+    java.util.Arrays.fill(sigSeen, -1)
+    val phSeen = new Array[Int](nConcepts); java.util.Arrays.fill(phSeen, -1)
+    val caSeen = new Array[Int](nConcepts); java.util.Arrays.fill(caSeen, -1)
+    val phOff = new Array[Int](nConcepts)
+    val caOff = new Array[Int](nConcepts)
+    val sigBuf = ArrayBuffer.empty[Int]
+    val conceptBuf = ArrayBuffer.empty[Int]
+    var sentIdx = 0
+    val sink = new graft.kg.text.PhraseAutomaton.Sink {
+      def hit(pid: Int, start: Int): Unit = scan.entryKind(pid) match {
+        case 0 =>
+          if (sigSeen(pid) != sentIdx) { sigSeen(pid) = sentIdx; sigBuf += pid }
+        case 1 =>
+          val ci = scan.entryConceptIdx(pid)
+          if (phSeen(ci) != sentIdx) {
+            if (caSeen(ci) != sentIdx) conceptBuf += ci
+            phSeen(ci) = sentIdx; phOff(ci) = start
+          } else if (start < phOff(ci)) phOff(ci) = start
+        case _ =>
+          val ci = scan.entryConceptIdx(pid)
+          if (caSeen(ci) != sentIdx) {
+            if (phSeen(ci) != sentIdx) conceptBuf += ci
+            caSeen(ci) = sentIdx; caOff(ci) = start
+          } else if (start < caOff(ci)) caOff(ci) = start
+      }
+    }
     var si = 0
     while (si < doc.sentences.length) {
-      val low = sentLower(si)
-      for ((name, pat) <- patterns; ph <- pat.matchablePhrases if low.contains(ph))
-        signalHits += SignalHit(name, ph, si)
-      si += 1
-    }
-
-    val conceptHits = ArrayBuffer.empty[ConceptHit]
-    // phrase lists pre-lowered once per broadcast ontology (not per sentence)
-    val conceptScanList: List[(String, List[String], List[String])] =
-      ontology.concepts.toList.sortBy(_._1).map { case (cid, cdef) =>
-        (cid,
-          (if (turkish) cdef.keyPhrasesTurkish else cdef.keyPhrasesLower).filter(_.length >= 4),
-          if (turkish) cdef.establishingCasesTurkish else cdef.establishingCasesNorm)
-      }
-    val concepts = ontology.concepts.toList.sortBy(_._1)
-    si = 0
-    while (si < doc.sentences.length) {
-      val low = sentLower(si)
-      for ((cid, phrases, cases) <- conceptScanList) {
-        var matched = false
-        var bestOff = Int.MaxValue
-        for (phl <- phrases) {
-          val off = low.indexOf(phl)
-          if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
-        }
-        if (!matched) {
-          for (cnl <- cases) {
-            val off = low.indexOf(cnl)
-            if (off >= 0) { matched = true; if (off < bestOff) bestOff = off }
-          }
-        }
-        if (matched) conceptHits += ConceptHit(cid, "", si, bestOff)
-      }
+      sentIdx = si
+      sigBuf.clear(); conceptBuf.clear()
+      scan.automaton.scan(sentLower(si), sink)
+      // legacy orders: signal hits by entry id = (pattern name, phrase
+      // order); concept hits by concept id (= concept index); key-phrase
+      // offsets shadow establishing-case offsets
+      if (sigBuf.nonEmpty)
+        for (pid <- sigBuf.sortInPlace())
+          signalHits += SignalHit(scan.entries(pid).name, scan.entryPhrases(pid), si)
+      if (conceptBuf.nonEmpty)
+        for (ci <- conceptBuf.sortInPlace())
+          conceptHits += ConceptHit(scan.conceptIds(ci), "", si,
+            if (phSeen(ci) == si) phOff(ci) else caOff(ci))
       si += 1
     }
 
@@ -375,13 +396,24 @@ object DocExtractor {
             "issue" -> ArrayBuffer.empty[String], "argument" -> ArrayBuffer.empty[String],
             "holding" -> ArrayBuffer.empty[String], "precedent" -> ArrayBuffer.empty[String]))
 
-    val clusters = mutable.LinkedHashMap.empty[String, Cluster]
-    for ((cid, cdef) <- concepts)
-      clusters(cid) = Cluster(cid, cdef.label, cdef.logic, cdef.requires)
+    // Clusters are materialized LAZILY on first member: pre-seeding every
+    // ontology concept allocated ~54 Cluster shells (6 buffers each) per
+    // conversation for a handful of live ones. The legacy LinkedHashMap
+    // insertion order (sorted ontology cids, then pseudo clusters in
+    // creation order) — which downstream tie-breaks depend on — is
+    // reconstructed from `concepts` + `pseudoOrder` wherever iteration
+    // order matters.
+    val clusters = mutable.HashMap.empty[String, Cluster]
+    val pseudoOrder = ArrayBuffer.empty[String]
+    def clusterOf(cid: String): Cluster = clusters.getOrElseUpdate(cid,
+      Cluster(cid, ontology.concepts(cid).label, ontology.concepts(cid).logic,
+        ontology.concepts(cid).requires))
+    def canonicalClusterIds: Iterator[String] =
+      concepts.iterator.map(_._1) ++ pseudoOrder.iterator
 
     val membership = mutable.Map.empty[String, ArrayBuffer[String]]
     def addMember(clusterId: String, n: Node): Unit = {
-      clusters(clusterId).members(n.nodeType) += n.id
+      clusterOf(clusterId).members(n.nodeType) += n.id
       membership.getOrElseUpdate(n.id, ArrayBuffer.empty) += clusterId
     }
 
@@ -390,8 +422,10 @@ object DocExtractor {
     for (c <- conceptNodes) {
       val best = Ontology.bestConceptMatch(c.conceptId, c.text, ontology.concepts)
         .getOrElse(c.conceptId)
-      if (!clusters.contains(best))
+      if (!ontology.concepts.contains(best) && !clusters.contains(best)) {
         clusters(best) = Cluster(best, c.text, "and", Nil)
+        pseudoOrder += best
+      }
       conceptNodeCluster(c.id) = best
       addMember(best, c)
     }
@@ -428,24 +462,26 @@ object DocExtractor {
       best.filter(_ => bestScore >= minScore)
     }
 
+    // candidate list in legacy insertion order (all ontology cids + pseudos
+    // created by the concept pass above — later passes never add clusters)
+    val allCandidates: List[String] = canonicalClusterIds.toList
     // issues: no primary_concepts in v1 → score fallback (min 3)
     for (i <- issues)
-      argmaxCluster(i.text, clusters.keys.toList, 3).foreach(cid => addMember(cid, i))
+      argmaxCluster(i.text, allCandidates, 3).foreach(cid => addMember(cid, i))
     // holdings: via resolves_issue → issue clusters, else score fallback
     for (h <- holdings) {
       val viaIssue = Option(h.resolvesIssue).toList
         .flatMap(iid => membership.getOrElse(iid, ArrayBuffer.empty).toList)
       if (viaIssue.nonEmpty) viaIssue.foreach(cid => clusters(cid).members("holding") += h.id)
       if (viaIssue.nonEmpty) membership.getOrElseUpdate(h.id, ArrayBuffer.empty) ++= viaIssue
-      else argmaxCluster(h.text, clusters.keys.toList, 3).foreach(cid => addMember(cid, h))
+      else argmaxCluster(h.text, allCandidates, 3).foreach(cid => addMember(cid, h))
     }
     // facts / arguments: min score 2, only clusters with issues/holdings/concepts
     // (constant during fact/argument/precedent assignment — those additions
     // never seed new clusters — so computed once, not per node)
-    val seededClusters: List[String] = clusters.collect {
-      case (cid, cl) if cl.members("issue").nonEmpty || cl.members("holding").nonEmpty ||
-        cl.members("concept").nonEmpty => cid
-    }.toList
+    val seededClusters: List[String] = canonicalClusterIds.filter(cid =>
+      clusters.get(cid).exists(cl => cl.members("issue").nonEmpty ||
+        cl.members("holding").nonEmpty || cl.members("concept").nonEmpty)).toList
     for (f <- facts)
       argmaxCluster(f.text, seededClusters, 2).foreach(cid => addMember(cid, f))
     for (a <- args)
@@ -464,7 +500,8 @@ object DocExtractor {
     // requirement satisfaction (extractor.py:1600-1629)
     val requirementRows = ArrayBuffer.empty[RequirementRow]
     val factById = facts.map(f => f.id -> f).toMap
-    for ((cid, cl) <- clusters if cl.requires.nonEmpty && cl.members("fact").nonEmpty) {
+    for (cid <- canonicalClusterIds; cl <- clusters.get(cid)
+         if cl.requires.nonEmpty && cl.members("fact").nonEmpty) {
       val reqKwSets = ontology.concepts.get(cid).map(_.requiresKeywordSets.toMap)
         .getOrElse(Map.empty)
       for (req <- cl.requires) {
@@ -484,8 +521,11 @@ object DocExtractor {
       }
     }
 
-    // prune empty clusters
-    val liveClusters = clusters.filter(_._2.members.values.exists(_.nonEmpty))
+    // prune empty clusters; LinkedHashMap in the legacy insertion order
+    // (sorted ontology cids, then pseudos) — JS tie-breaks iterate it
+    val liveClusters = mutable.LinkedHashMap.from(
+      canonicalClusterIds.flatMap(cid =>
+        clusters.get(cid).filter(_.members.values.exists(_.nonEmpty)).map(cid -> _)))
 
     // ---- Stage 6: edge induction --------------------------------------------
     val rawEdges = ArrayBuffer.empty[EdgeRow]

@@ -81,11 +81,58 @@ final case class SignalPattern(
   * table: IPC→BNS, CrPC→BNSS, IEA→BSA). */
 final case class StatuteMapping(category: String, old: String, nw: String, concept: String)
 
+/** One Aho-Corasick entry: kind 0 = signal phrase (name = pattern name),
+  * kind 1 = concept key phrase, kind 2 = concept establishing case (name =
+  * concept id for both). Entry id == phrase id in the automaton. */
+final case class ScanEntry(kind: Int, name: String)
+
+/** The ontology's mention-detection grammar compiled into ONE automaton:
+  * every signal phrase, concept key phrase (len ≥ 4, mirroring the scan
+  * loop it replaces) and establishing case, scanned in a single pass per
+  * sentence. Hit ordering contracts the extractor relies on are re-imposed
+  * by the caller (signal hits by entry id = (pattern name, phrase order);
+  * concept hits by concept id). */
+final class CompiledScan(
+    val automaton: graft.kg.text.PhraseAutomaton,
+    val entries: Array[ScanEntry],
+    val entryPhrases: Array[String],
+    val entryKind: Array[Int],       // parallel primitive views of `entries`
+    val entryConceptIdx: Array[Int], // index into conceptIds (-1 for signals)
+    val conceptIds: Array[String])   // concept ids in sorted order
+
+object CompiledScan {
+  def build(o: OntologyData, turkish: Boolean): CompiledScan = {
+    val entries = scala.collection.mutable.ArrayBuffer.empty[ScanEntry]
+    val phrases = scala.collection.mutable.ArrayBuffer.empty[String]
+    val kinds = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val cidxs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for ((name, pat) <- o.patterns.toList.sortBy(_._1); ph <- pat.matchablePhrases) {
+      entries += ScanEntry(0, name); phrases += ph; kinds += 0; cidxs += -1
+    }
+    val sortedConcepts = o.concepts.toList.sortBy(_._1)
+    for (((cid, cdef), ci) <- sortedConcepts.zipWithIndex) {
+      val kps = (if (turkish) cdef.keyPhrasesTurkish else cdef.keyPhrasesLower)
+        .filter(_.length >= 4)
+      for (ph <- kps) { entries += ScanEntry(1, cid); phrases += ph; kinds += 1; cidxs += ci }
+      val cases = if (turkish) cdef.establishingCasesTurkish else cdef.establishingCasesNorm
+      for (cn <- cases) { entries += ScanEntry(2, cid); phrases += cn; kinds += 2; cidxs += ci }
+    }
+    new CompiledScan(graft.kg.text.PhraseAutomaton.build(phrases.toIndexedSeq),
+      entries.toArray, phrases.toArray, kinds.toArray, cidxs.toArray,
+      sortedConcepts.map(_._1).toArray)
+  }
+}
+
 final case class OntologyData(
     concepts: Map[String, ConceptDef],
     patterns: Map[String, SignalPattern],
     statuteMappings: List[StatuteMapping]
 ) {
+  /** Lazily compiled mention-scan automatons (per deserialized instance —
+    * built once per executor task at most, reused for every conversation). */
+  @transient lazy val compiledScan: CompiledScan = CompiledScan.build(this, turkish = false)
+  @transient lazy val compiledScanTurkish: CompiledScan = CompiledScan.build(this, turkish = true)
+
   /** Inverted keyword → concept-ids index for candidate pruning in cluster
     * scoring. A concept can score > 0 only if it shares ≥1 index keyword
     * with the node text OR one of its matchable phrases has an empty keyword

@@ -90,6 +90,60 @@ object Citations {
   private val PrecedingNameRe = Pattern.compile(
     s"""($EchrNameFrag(?:\\s+$EchrNameFrag)*)\\s+v(?:s?)\\.?\\s+((?:the\\s+)?$EchrNameFrag(?:\\s+(?:of\\s+)?$EchrNameFrag)*)[,\\s]*$$""")
 
+  /** Literal anchors for the Indian grammar: every IN pattern's match
+    * contains one of these case-insensitive literals ("air", "scc", "scr",
+    * "manu", "ilr") or — for case-number citations — an "of" token flanked
+    * by digits across whitespace ("123 of 2020"). Scanning ±R around anchor
+    * occurrences is exact for matches shorter than R (same bound the digit
+    * windows relied on) while touching a tiny fraction of running text:
+    * indexOf is intrinsified, so the (backtracking) patterns run only where
+    * a citation can actually be. */
+  private val InAnchorLits = Array("air", "scc", "scr", "manu", "ilr")
+
+  /** Anchor literal index → bitmask over IndianPatterns (scc gates both the
+    * paren and OnLine grammars; the "of" detector gates case_number). */
+  private val InAnchorMasks = Array(1 << 0, (1 << 1) | (1 << 2), 1 << 3, 1 << 4, 1 << 5)
+  private val OfMask = 1 << 6
+
+  /** Merged anchor windows (start, end, patternMask) for the Indian grammar
+    * over the lowered text; each window carries the union of the pattern
+    * bits whose anchors fell inside it, so only those grammars scan it. */
+  private def indianAnchorWindows(low: String, radius: Int = 64): List[(Int, Int, Int)] = {
+    val n = low.length
+    val starts = ArrayBuffer.empty[(Int, Int)] // (anchorPos, mask)
+    var a = 0
+    while (a < InAnchorLits.length) {
+      val lit = InAnchorLits(a)
+      val mask = InAnchorMasks(a)
+      var i = low.indexOf(lit)
+      while (i >= 0) { starts += ((i, mask)); i = low.indexOf(lit, i + 1) }
+      a += 1
+    }
+    // "\d+\s+of\s+\d{4}": an "of" with a digit before and after across ws
+    var i = low.indexOf("of")
+    while (i >= 0) {
+      var b = i - 1
+      while (b >= 0 && Character.isWhitespace(low.charAt(b))) b -= 1
+      if (b >= 0 && b < i && low.charAt(b) >= '0' && low.charAt(b) <= '9') {
+        var f = i + 2
+        while (f < n && Character.isWhitespace(low.charAt(f))) f += 1
+        if (f < n && f > i + 2 && low.charAt(f) >= '0' && low.charAt(f) <= '9')
+          starts += ((i, OfMask))
+      }
+      i = low.indexOf("of", i + 1)
+    }
+    val out = ArrayBuffer.empty[(Int, Int, Int)]
+    for ((s, mask) <- starts.sortInPlace()(Ordering.by(_._1))) {
+      val ws = math.max(0, s - radius)
+      val we = math.min(n, s + radius)
+      if (out.nonEmpty && out.last._2 >= ws) {
+        val (ps, pe, pm) = out.remove(out.length - 1)
+        out += ((ps, math.max(pe, we), pm | mask))
+      } else out += ((ws, we, mask))
+    }
+    out.toList
+  }
+
   /** Merged [digit−R, digit+R] windows over the text. Every IN/TR citation
     * pattern REQUIRES a digit inside the match and matches are far shorter
     * than R, so scanning only these windows is exact while skipping the
@@ -119,11 +173,18 @@ object Citations {
   def extract(text: String, jurisdiction: String): List[CitationHit] = {
     val pats = patternsFor(jurisdiction)
     if (text == null || text.isEmpty || pats.isEmpty) return Nil
-    // ECHR has digit-free patterns (Name v. Name) → full scan; IN/TR patterns
+    // ECHR has digit-free patterns (Name v. Name) → full scan; IN patterns
+    // all contain a literal anchor → anchor-window region scan; TR patterns
     // all require digits → digit-window scan (exact, see digitWindows)
     val j = jurisdiction.toLowerCase.trim
     if (j == "echr") extractFull(text, pats)
-    else {
+    else if (j == "in" || j == "india") {
+      val low = text.toLowerCase(java.util.Locale.ROOT)
+      val raw = ArrayBuffer.empty[CitationHit]
+      for ((ws, we, mask) <- indianAnchorWindows(low))
+        extractRegion(text, ws, we, pats, mask, raw)
+      dedupeOverlapping(raw.toList)
+    } else {
       val raw = ArrayBuffer.empty[CitationHit]
       val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
       for ((ws, we) <- digitWindows(text); hit <- extractFull(text.substring(ws, we), pats)) {
@@ -132,6 +193,38 @@ object Citations {
         if (!seen.contains(key)) { seen += key; raw += shifted }
       }
       dedupeOverlapping(raw.toList)
+    }
+  }
+
+  /** Run the patterns over text[ws, we) via Matcher.region with TRANSPARENT
+    * bounds (\b and lookbehind see the true surrounding text, unlike the
+    * substring path where window edges look like string edges) — absolute
+    * offsets, no substring copy. Insertion order (window-major, then pattern
+    * order) matches the legacy scan so dedupeOverlapping's stable sort keeps
+    * identical winners. */
+  private def extractRegion(
+      text: String, ws: Int, we: Int,
+      pats: List[(Pattern, String)], mask: Int, raw: ArrayBuffer[CitationHit]): Unit = {
+    var bit = 0
+    for ((pat, ctype) <- pats) {
+      val run = (mask & (1 << bit)) != 0
+      bit += 1
+      if (!run) ()
+      else {
+      val m = pat.matcher(text)
+      m.region(ws, we).useTransparentBounds(true).useAnchoringBounds(false)
+      while (m.find()) {
+        val citationText = m.group(0).trim
+        val caseName = {
+          val from = math.max(0, m.start() - 80)
+          val back = text.substring(from, m.start())
+          val nm = PrecedingNameRe.matcher(back)
+          if (nm.find()) Some(s"${nm.group(1)} v. ${nm.group(2)}") else None
+        }
+        raw += CitationHit(citationText, m.start(), m.end(), ctype, caseName,
+          extractYear(citationText))
+      }
+      }
     }
   }
 
