@@ -13,6 +13,12 @@ import org.apache.spark.sql.SparkSession
   * efficiency, which is the in-sandbox evidence for the north rule's
   * N-vs-4N-executor criterion (no real cluster available here).
   *
+  * Variance discipline (the sandbox VM drifts 20-40 % between runs):
+  * every per-query number is a MIN over `qReps` reps, and the kg pre/shuffled
+  * comparison interleaves ≥5 rep pairs in one session and reports min,
+  * median and full range per path — a single VM stall can no longer fabricate
+  * a regression.
+  *
   * Prints ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *    "kg":{"n_convs":...,"triples":...,
@@ -49,26 +55,46 @@ object Bench {
     import org.apache.spark.sql.functions.col
     val t0 = System.nanoTime()
     // persist the union as a DataFrame: columnar cache, and the node/edge
-    // projections rescan it without the object-encoder round-trip
+    // projections rescan it without the object-encoder round-trip. The
+    // union is pruned at the extraction boundary to exactly the columns
+    // canonicalization reads (mention keys + slim edges) — the same column
+    // pruning Catalyst would push into a relational scan.
     val combined = KgPipeline
-      .nodesAndEdgesDirect(spark, transcripts, prePartitioned = pre)
+      .canonicalInputsDirect(spark, transcripts, prePartitioned = pre)
       .toDF()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = combined.filter(col("node").isNotNull).select("node.*")
-    val edges = combined.filter(col("edge").isNotNull).select("edge.*")
+    val nodes = combined.filter(col("m").isNotNull).select("m.*")
+    val edges = combined.filter(col("e").isNotNull).select("e.*")
     val triples = graft.kg.canonical.Canonicalizer
       .canonicalTriples(spark, nodes, edges).count()
     combined.unpersist()
     ((System.nanoTime() - t0) / 1e9, triples)
   }
 
-  /** Min-of-reps timing at one parallelism level for BOTH read paths,
-    * reps INTERLEAVED (pre, shuffled, pre, shuffled, …) inside one session
-    * so run-to-run drift (thermal/GC/page-cache — the sandbox VM shows
-    * 20-40 % variance) hits both paths equally instead of biasing whichever
-    * ran later. Returns (bestPre, bestShuffled, triples). */
-  private def kgRunPair(cores: Int, transcriptsPath: String, reps: Int = 3,
-                        shuffledToo: Boolean = true): (Double, Double, Long) = {
+  final private case class PathStats(
+      secs: Vector[Double]) {
+    def min: Double = secs.min
+    def median: Double = {
+      val s = secs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def lo: Double = secs.min
+    def hi: Double = secs.max
+    def json: String = {
+      def f(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+      // "sec" repeats the min for round-2/3 schema compatibility
+      s"""{"sec":${f(min)},"min":${f(min)},"median":${f(median)},""" +
+        s""""range":[${f(lo)},${f(hi)}],"reps":[${secs.map(f).mkString(",")}]}"""
+    }
+  }
+
+  /** Timing at one parallelism level for BOTH read paths, reps INTERLEAVED
+    * (pre, shuffled, pre, shuffled, …) inside one session so run-to-run
+    * drift (thermal/GC/page-cache — the sandbox VM shows 20-40 % variance)
+    * hits both paths equally instead of biasing whichever ran later.
+    * Returns (preStats, shuffledStats, triples). */
+  private def kgRunPair(cores: Int, transcriptsPath: String, reps: Int = 5,
+                        shuffledToo: Boolean = true): (PathStats, Option[PathStats], Long) = {
     val spark = session(cores)
     try {
       import spark.implicits._
@@ -77,20 +103,21 @@ object Bench {
       // pinned one-file-per-task read (asserts partitions == files)
       val preT = KgPipeline.readConversationPartitioned(spark, transcriptsPath)
       val shufT = spark.read.parquet(transcriptsPath)
-      var bestPre = Double.MaxValue
-      var bestShuf = Double.MaxValue
+      val preS = Vector.newBuilder[Double]
+      val shufS = Vector.newBuilder[Double]
       var triples = 0L
       for (_ <- 1 to reps) {
         val (ps, pt) = kgOnce(spark, preT, pre = true)
         triples = pt
-        bestPre = math.min(bestPre, ps)
+        preS += ps
         if (shuffledToo) {
           val (ss, st) = kgOnce(spark, shufT, pre = false)
           require(pt == st, s"layout changed results: $pt vs $st")
-          bestShuf = math.min(bestShuf, ss)
+          shufS += ss
         }
       }
-      (bestPre, bestShuf, triples)
+      (PathStats(preS.result()),
+        if (shuffledToo) Some(PathStats(shufS.result())) else None, triples)
     } finally spark.stop()
   }
 
@@ -113,6 +140,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val lowCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOW", "8").toInt
     val highCores = lowCores * 4
+    val kgReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_KG_REPS", "5").toInt
+    val qReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_Q_REPS", "3").toInt
 
     // --- phase 1: KG end-to-end at two parallelism levels -------------------
     // Workload scales with the sf dir (documents row count), content is the
@@ -120,10 +149,13 @@ object Bench {
     val prep = session(highCores)
     val (nConvs, transcriptsPath) = {
       import prep.implicits._
-      // 3 conversations per document row: enough work that the canonicalize
-      // stage's fixed per-job latency stays <10% of the 2-core run at sf0.1
+      // 8 conversations per document row: enough work that the canonicalize
+      // stage's fixed per-job latency stays a small fraction of even the
+      // 8-core run at sf0.1 (the round-4 extractor is ~1.55x faster, so the
+      // round-3 x3 workload would have shrunk the parallel share and let
+      // fixed job latency dominate the efficiency ratio)
       val nDocs = prep.read.parquet(s"$sfDir/documents.parquet").count()
-      val n = math.max(600, nDocs.toInt * 3)
+      val n = math.max(1000, nDocs.toInt * 8)
       // conversation-contiguous production layout: extraction reads it
       // SHUFFLE-FREE (no conv_id exchange) — the 100-TB deployment shape
       val path = s"/tmp/graft_bench_transcripts40p_$n"
@@ -140,46 +172,62 @@ object Bench {
     // (8 → 32) additionally reflects this single box's all-core frequency/
     // memory-bandwidth ceiling, which a real cluster adding MACHINES does not
     // hit. Both are reported; `scaling_efficiency` is the (2 → 8) pair.
-    // at each level the pre-partitioned (shuffle-free) and shuffled
+    // At each level the pre-partitioned (shuffle-free) and shuffled
     // (conv_id exchange + sort) paths are timed with INTERLEAVED reps in the
-    // same session — the fair shuffle-cost comparison for BENCH.md
-    val (base2Sec, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 2, shuffledToo = false)
-    val (lowSec, shufLowSec, lowTriples) = kgRunPair(lowCores, transcriptsPath)
-    val (highSec, shufHighSec, highTriples) = kgRunPair(highCores, transcriptsPath)
+    // same session; min/median/range all ship in the JSON.
+    val (base2, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 2, shuffledToo = false)
+    val (low, shufLow, lowTriples) = kgRunPair(lowCores, transcriptsPath, reps = kgReps)
+    val (high, shufHigh, highTriples) = kgRunPair(highCores, transcriptsPath, reps = kgReps)
     require(lowTriples == highTriples && baseTriples == lowTriples,
       s"parallelism changed results: $baseTriples/$lowTriples/$highTriples")
-    val base2Tps = baseTriples / base2Sec
-    val lowTps = lowTriples / lowSec
-    val highTps = highTriples / highSec
+    val base2Tps = baseTriples / base2.min
+    val lowTps = lowTriples / low.min
+    val highTps = highTriples / high.min
     val eff2to8 = (lowTps / base2Tps) / (lowCores.toDouble / 2)
     val eff8to32 = (highTps / lowTps) / (highCores.toDouble / lowCores)
 
     // --- phase 1c: full pipeline incl. materialize, at local[high] ----------
     val (matSec, matTriples) = materializeRun(highCores, transcriptsPath)
 
-    // --- phase 2: headline operator queries at local[high] ------------------
+    // --- phase 2: headline operator queries at local[high], min-of-qReps ----
+    // The kg_* family shares SparkEntry's extract-once memo; its one-time
+    // corpus extraction is timed separately below as kg_corpus_extract so
+    // per-query minima measure steady-state query cost, not the shared
+    // extraction (the reference's own materialize-once design).
     val spark = session(highCores)
-    val results = SparkEntry.queries.toList.sortBy(_._1).map { case (name, fn) =>
+    val extractOnceSec = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      SparkEntry.queries("kg_triples")(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toList.sortBy(_._1).map { case (name, fn) =>
+      var best = Double.MaxValue
+      for (_ <- 1 to qReps) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      name -> best
     }
     spark.stop()
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = (results :+ ("kg_corpus_extract" -> extractOnceSec))
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + base2Sec + lowSec + highSec + matSec
+    val total = results.map(_._2).sum + extractOnceSec +
+      base2.min + low.min + high.min + matSec
     val kg =
       s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
-        s""""base":{"cores":2,"sec":${f(base2Sec)},"triples_per_sec":${f(base2Tps)}},""" +
-        s""""low":{"cores":$lowCores,"sec":${f(lowSec)},"triples_per_sec":${f(lowTps)}},""" +
-        s""""high":{"cores":$highCores,"sec":${f(highSec)},"triples_per_sec":${f(highTps)}},""" +
+        s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)}},""" +
+        s""""low":{"cores":$lowCores,"sec":${f(low.min)},"triples_per_sec":${f(lowTps)}},""" +
+        s""""high":{"cores":$highCores,"sec":${f(high.min)},"triples_per_sec":${f(highTps)}},""" +
         s""""scaling_efficiency":${f(eff2to8)},""" +
         s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
         s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
-        s""""shuffled_low":{"cores":$lowCores,"sec":${f(shufLowSec)}},""" +
-        s""""shuffled_high":{"cores":$highCores,"sec":${f(shufHighSec)}},""" +
+        s""""pre_low":${low.json},"pre_high":${high.json},""" +
+        s""""shuffled_low":${shufLow.map(_.json).getOrElse("null")},""" +
+        s""""shuffled_high":${shufHigh.map(_.json).getOrElse("null")},""" +
         s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,"triples_per_sec":${f(matTriples / matSec)}}}"""
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")

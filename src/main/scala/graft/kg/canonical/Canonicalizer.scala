@@ -40,13 +40,20 @@ object Canonicalizer {
         concat(lit("cit:"), col("citationType"), lit(":"),
           normName(col("citation"))).as("cit_key"))
 
-  /** Mention → canonical_id for every precedent node. */
+  /** Mention → canonical_id for every precedent node.
+    *
+    * Job shape: ONE action here (runAuto's bounded take; the final join is
+    * lazy). `keys` persists lazily instead of an eager localCheckpoint, and
+    * the candidate edges are NOT pre-distinct'ed — runAuto distincts its
+    * input anyway, so the upstream distincts were two redundant shuffles of
+    * the mention stream per run. */
   def canonicalPrecedents(spark: SparkSession, nodes: DataFrame): DataFrame = {
-    val keys = precedentKeys(nodes).localCheckpoint()
+    val keys = precedentKeys(nodes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairEdges = keys.filter(col("name_key").isNotNull)
-      .select(col("name_key").as("src"), col("cit_key").as("dst")).distinct()
+      .select(col("name_key").as("src"), col("cit_key").as("dst"))
     // self-edges keep citation-only keys present in the component table
-    val selfEdges = keys.select(col("cit_key").as("src"), col("cit_key").as("dst")).distinct()
+    val selfEdges = keys.select(col("cit_key").as("src"), col("cit_key").as("dst"))
     val comps = ConnectedComponents.runAuto(spark, pairEdges.union(selfEdges))
     keys
       .join(comps.withColumnRenamed("id", "cit_key"), Seq("cit_key"), "left")
@@ -66,14 +73,28 @@ object Canonicalizer {
     canonicalPrecedents(spark, nodes).union(canonicalConcepts(nodes))
 
   /** Rewrite the triple table onto canonical entity ids (the cross-document
-    * analog of rewire_edges_after_dedup, extractor.py:4107-4116). */
+    * analog of rewire_edges_after_dedup, extractor.py:4107-4116).
+    *
+    * Shuffle shape: the mapping is conversation-local, so BOTH resolution
+    * joins key on (convId, endpoint). Co-partitioning edges and mapping by
+    * convId alone satisfies the clustering requirement of both joins
+    * (HashPartitioning on a subset of the join keys), so subj and obj
+    * resolve with TWO exchanges total — the naive plan re-shuffled the edge
+    * stream and the mapping once per endpoint (four exchanges), which at
+    * corpus scale doubles the largest shuffle of the pipeline. */
   def canonicalTriples(spark: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val mapping = mentionMap(spark, nodes).localCheckpoint()
+    // persist (lazy) rather than an eager localCheckpoint: the mapping
+    // materializes inside the consumer's own job, and the shared repartition
+    // node below is reused by both the subj and obj branches
+    val mapping = mentionMap(spark, nodes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("convId"))
     val subjMap = mapping.withColumnRenamed("id", "source")
       .withColumnRenamed("canonical_id", "subj_canonical")
     val objMap = mapping.withColumnRenamed("id", "target")
       .withColumnRenamed("canonical_id", "obj_canonical")
     edges
+      .repartition(col("convId"))
       .join(subjMap, Seq("convId", "source"), "left")
       .join(objMap, Seq("convId", "target"), "left")
       .select(
