@@ -293,6 +293,50 @@ object SparkEntry {
         .orderBy(col("a"))
     }),
 
+    // --- T10 negation-cue heuristic over the documents table (the
+    //     requirement-satisfaction gate, extractor.py:1306-1309); the salad
+    //     corpus contains no negation cues, so cue suffixes are planted
+    //     deterministically (filter-derived, SQL-reconstructable) ---
+    "q33_negativity" -> ((s, dir) => {
+      val neg = udf((t: String) => graft.kg.text.Normalize.looksNegative(t))
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" the application was denied")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1, lit(" they failed to comply")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 2, lit(" without notice")).otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), neg(col("text")).cast("int").as("is_negative"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- J2 concept-match scoring (extractor.py:1216-1303) over documents:
+    //     the REAL Ontology.conceptMatchScoreFast operator applied per doc
+    //     against two shipped ontology concepts; key phrases / establishing
+    //     cases are planted deterministically (filter-derived, so the
+    //     DuckDB oracle reconstructs the same text and mirrors the full
+    //     formula: +5/phrase hit, +8 any case, capped keyword overlaps) ---
+    "q34_concept_score" -> ((s, dir) => {
+      val audi = graft.kg.ontology.Ontology.default
+        .concepts("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM")
+      val prop = graft.kg.ontology.Ontology.default
+        .concepts("DOCTRINE_PROPORTIONALITY_TEST")
+      val scoreAudi = udf((t: String) => graft.kg.ontology.Ontology.conceptMatchScore(t, audi))
+      val scoreProp = udf((t: String) => graft.kg.ontology.Ontology.conceptMatchScore(t, prop))
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" fair opportunity to answer was denied before the hearing")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" the legitimate aim and rational nexus test of proportionality")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" as held in maneka gandhi v. uoi (1978) a speaking order is required")).otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"),
+          scoreAudi(col("text")).as("score_audi"),
+          scoreProp(col("text")).as("score_prop"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -559,6 +603,60 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q33_negativity" ->
+      // the 6 negation cues of Normalize.looksNegative, trailing spaces
+      // significant, on the raw-lowered text (with the planted cue suffixes)
+      """WITH planted AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' the application was denied' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 1 THEN ' they failed to comply' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 2 THEN ' without notice' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN contains(lower(text), 'without ') OR contains(lower(text), 'no ')
+                  OR contains(lower(text), 'not ') OR contains(lower(text), 'denied')
+                  OR contains(lower(text), 'refused') OR contains(lower(text), 'failed to')
+                THEN 1 ELSE 0 END AS is_negative
+         FROM planted ORDER BY doc_id""",
+
+    "q34_concept_score" ->
+      // full _concept_match_score mirror (extractor.py:1216-1303): phrase
+      // hits +5 each and establishing-case containment +8 on the
+      // ws-collapsed lowered text; keyword overlaps capped at 4 — the
+      // len>=4 / stopword filters on the doc side are redundant for the
+      // intersection because every concept keyword already satisfies them
+      """WITH planted AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 5 = 0 THEN ' fair opportunity to answer was denied before the hearing' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' the legitimate aim and rational nexus test of proportionality' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' as held in maneka gandhi v. uoi (1978) a speaking order is required' ELSE '' END AS text
+           FROM documents),
+         t AS (
+           SELECT doc_id,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS lownorm,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS toks
+           FROM planted)
+         SELECT doc_id,
+           5 * (contains(lownorm, 'no one shall be condemned unheard')::INT
+              + contains(lownorm, 'fair opportunity to answer')::INT
+              + contains(lownorm, 'speaking order')::INT)
+           + 8 * (CASE WHEN contains(lownorm, 'maneka gandhi v. uoi (1978)')
+                       OR contains(lownorm, 'a.k. kraipak v. uoi (1969)') THEN 1 ELSE 0 END)
+           + least(4, len(list_intersect(toks, ['action','actions','administrative','adverse','alteram','answer','audi','before','challenge','conclusion','condemned','decision','difference','emergency','exclusion','fair','heard','hearing','judicial','justice','make','natural','notice','obvious','opportunity','order','partem','post','proposed','purely','quasi','reasonable','reasoned','speaking','statutory','subject','suffice','unheard','urgency'])))
+           + least(4, len(list_intersect(toks, ['action','adverse','before','decision','fair','heard','hearing','notice','opportunity','order','proposed','reasonable','reasoned','speaking']))) AS score_audi,
+           5 * (contains(lownorm, 'legitimate aim')::INT
+              + contains(lownorm, 'rational nexus')::INT
+              + contains(lownorm, 'least restrictive means')::INT
+              + contains(lownorm, 'proportionality stricto sensu')::INT)
+           + 8 * (CASE WHEN contains(lownorm, 'modern dental college v. state of mp (2016)')
+                       OR contains(lownorm, 'k.s. puttaswamy i (2017)')
+                       OR contains(lownorm, 'k.s. puttaswamy ii/aadhaar (2018)') THEN 1 ELSE 0 END)
+           + least(4, len(list_intersect(toks, ['alternatives','available','disproportionate','four','impact','least','legitimate','less','means','nexus','prongs','proportionality','rational','restrictive','rights','sensu','stricto','test'])))
+           + least(4, len(list_intersect(toks, ['four','prongs']))) AS score_prop
+         FROM t ORDER BY doc_id""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here

@@ -225,6 +225,32 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ct.select("subj").collect().map(_.getString(0)).exists(_.startsWith("concept:")))
   }
 
+  test("canonical triple rewrite co-partitions: endpoint joins add no exchange") {
+    // the mapping is conv-local, so one repartition(convId) per side must
+    // satisfy BOTH the (convId, source) and (convId, target) joins
+    // (HashPartitioning on a subset of the join keys) — the subj and obj
+    // joins themselves may not introduce further exchanges, and the
+    // mapping-side exchange must be reused across the two branches
+    import spark.implicits._
+    val df = transcriptsDF(20)
+    val nodes = KgPipeline.nodesDirect(spark, df).toDF()
+    val edges = KgPipeline.edgesDirect(spark, df).toDF()
+    val ct = graft.kg.canonical.Canonicalizer.canonicalTriples(spark, nodes, edges)
+    ct.count() // materialize so AQE finalizes the plan
+    val plan = ct.queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size
+    assert(joins >= 2, s"expected both endpoint joins in plan:\n${plan.take(3000)}")
+    // exchanges introduced by hashpartitioning(convId...) only — none keyed
+    // by (convId, source) or (convId, target)
+    assert(!plan.contains("hashpartitioning(convId, source") &&
+      !plan.contains("hashpartitioning(convId, target"),
+      s"endpoint join added its own exchange:\n${plan.take(3000)}")
+    assert(plan.contains("ReusedExchange") || plan.contains("InMemoryTableScan") ||
+      "Exchange hashpartitioning\\(convId".r.findAllIn(plan).size <= 2,
+      s"mapping exchange not shared:\n${plan.take(3000)}")
+  }
+
   test("quality scores are in [1,10] and edge validity is 1.0 post-repair") {
     val df = transcriptsDF(25)
     val nodes = KgPipeline.nodesDirect(spark, df).toDF()
