@@ -337,6 +337,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- T4 normalize-with-mapping over documents: the REAL
+    //     Normalize.normalizeWithMapping (whitespace-run collapse with
+    //     offset map) fingerprinted per doc; DuckDB mirrors the text half
+    //     with a regex collapse (the offset map is Spark-side-only and is
+    //     property-tested in TextProps) ---
+    "q35_norm_hash" -> ((s, dir) => {
+      val norm = udf((t: String) => graft.kg.text.Normalize.normalizeWithMapping(t)._1)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(norm(col("text"))).as("norm_hash"),
+          length(norm(col("text"))).as("norm_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- T5 Turkish-aware lowercase (İ→i, I→ı + standard lowering) over
+    //     documents with planted Turkish-uppercase suffixes (the salad
+    //     corpus is ASCII); DuckDB mirrors via translate + lower ---
+    "q36_turkish_fold" -> ((s, dir) => {
+      val tl = udf((t: String) => graft.kg.text.Normalize.turkishLower(t))
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0, lit(" İSTANBUL IŞIK ŞÇÖÜĞ DAVASI")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 1, lit(" ANAYASA MAHKEMESİ KARARI")).otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"), md5(tl(col("text"))).as("folded_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -603,6 +631,27 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q35_norm_hash" ->
+      // whitespace-run collapse (no trim) — Java isWhitespace == RE2 \s on
+      // this ASCII corpus
+      """SELECT doc_id,
+           md5(regexp_replace(text, '\s+', ' ', 'g')) AS norm_hash,
+           length(regexp_replace(text, '\s+', ' ', 'g')) AS norm_len
+         FROM documents ORDER BY doc_id""",
+
+    "q36_turkish_fold" ->
+      // İ→i / I→ı (+ the rest of the Turkish uppercase set) then standard
+      // lowering — translate() before lower() exactly like the operator
+      """WITH planted AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' İSTANBUL IŞIK ŞÇÖÜĞ DAVASI' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 1 THEN ' ANAYASA MAHKEMESİ KARARI' ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id,
+           md5(lower(translate(text, 'İIŞÇÖÜĞ', 'iışçöüğ'))) AS folded_hash
+         FROM planted ORDER BY doc_id""",
+
     "q33_negativity" ->
       // the 6 negation cues of Normalize.looksNegative, trailing spaces
       // significant, on the raw-lowered text (with the planted cue suffixes)
