@@ -365,6 +365,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- G4 BFS reachability at table scale: GraphOps.reachable over a
+    //     deterministic per-customer edge table derived from orders (each
+    //     order contributes edge n{okey%20} -> n{(okey*7+3)%20} inside its
+    //     customer's graph); DuckDB mirrors with depth-capped WITH
+    //     RECURSIVE — same frontier semantics (first reach <= depth 10) ---
+    "q37_reachability" -> ((s, dir) => {
+      val edges = pq(s, dir, "orders").select(
+        col("o_custkey").cast("string").as("convId"),
+        concat(lit("n"), col("o_orderkey") % 20).as("source"),
+        concat(lit("n"), (col("o_orderkey") * 7 + 3) % 20).as("target"))
+      graft.kg.query.GraphOps.reachable(s, edges, "n0", maxDepth = 10)
+        .orderBy(col("conv_id"), col("id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -631,6 +645,23 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q37_reachability" ->
+      // depth-capped recursive BFS: rows are (conv, node, depth) triples —
+      // a node enters the result iff first reachable within 10 hops, the
+      // same layer semantics as the iterative frontier anti-join
+      """WITH RECURSIVE edges AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+                  'n' || CAST(o_orderkey % 20 AS VARCHAR) AS source,
+                  'n' || CAST((o_orderkey * 7 + 3) % 20 AS VARCHAR) AS target
+           FROM orders),
+         reach(conv_id, id, depth) AS (
+           SELECT conv_id, target, 1 FROM edges WHERE source = 'n0'
+           UNION
+           SELECT e.conv_id, e.target, r.depth + 1
+           FROM reach r JOIN edges e ON r.conv_id = e.conv_id AND r.id = e.source
+           WHERE r.depth < 10)
+         SELECT DISTINCT conv_id, id FROM reach ORDER BY conv_id, id""",
+
     "q35_norm_hash" ->
       // whitespace-run collapse (no trim) — Java isWhitespace == RE2 \s on
       // this ASCII corpus

@@ -220,14 +220,19 @@ object GraphOps {
   def reachable(
       spark: SparkSession, edges: DataFrame,
       startNodeId: String, maxDepth: Int = 10): DataFrame = {
-    var frontier = edges.filter(col("source") === startNodeId)
+    // pin the edge plan once: the iterative frontier joins re-reference it
+    // every round, and expression-derived caller plans can otherwise trip
+    // attribute re-resolution against the checkpointed frontiers
+    val e0 = edges.select(col("convId"), col("source"), col("target"))
+      .localCheckpoint()
+    var frontier = e0.filter(col("source") === startNodeId)
       .select(col("convId"), col("target").as("id")).distinct()
     var acc = frontier
     var i = 1
     var newCount = frontier.count()
     while (newCount > 0 && i < maxDepth) {
       frontier = frontier.alias("f")
-        .join(edges.alias("e"),
+        .join(e0.alias("e"),
           col("f.convId") === col("e.convId") && col("f.id") === col("e.source"))
         .select(col("e.convId").as("convId"), col("e.target").as("id"))
         .distinct()
