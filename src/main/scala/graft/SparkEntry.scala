@@ -379,6 +379,28 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("id"))
     }),
 
+    // --- V1/V2 relation normalize + coerce over a planted messy-relation
+    //     column (20 inputs cycled by doc_id covering the alias map, every
+    //     coercion branch and the default); the REAL Relations.coerce runs
+    //     per row, DuckDB mirrors normalize (lower/underscore/collapse) +
+    //     alias CASE + valid-set check + the substring cascade ---
+    "q38_relation_coerce" -> ((s, dir) => {
+      val messy = Seq(
+        "Supports", "claim-satisfies", "SATISFY", "partial satisfies",
+        "permits", "contradicts", "necessitates", "answers the question",
+        "determination", "leads to", "attack-mode", "rebuttal",
+        "undercutting", "total nonsense", "grounds", "Follows",
+        "supports  argument", "conflict with", "established", "enables")
+      val coerceU = udf((t: String) => graft.kg.rules.Relations.coerce(t))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(
+            array(messy.map(lit): _*), (col("doc_id") % 20).cast("int") + 1).as("raw_relation"))
+        .select(col("doc_id"), col("raw_relation"),
+          coerceU(col("raw_relation")).as("relation"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -645,6 +667,67 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q38_relation_coerce" ->
+      // normalize (extractor.py:282-291) + alias map + 32-value enum check +
+      // coercion cascade (extractor.py:294-329), all inline
+      """WITH planted AS (
+           SELECT doc_id,
+             (['Supports','claim-satisfies','SATISFY','partial satisfies',
+               'permits','contradicts','necessitates','answers the question',
+               'determination','leads to','attack-mode','rebuttal',
+               'undercutting','total nonsense','grounds','Follows',
+               'supports  argument','conflict with','established','enables'])[CAST(doc_id % 20 AS INT) + 1] AS raw_relation
+           FROM documents),
+         n AS (
+           SELECT doc_id, raw_relation,
+             regexp_replace(replace(replace(lower(trim(raw_relation)), '-', '_'), ' ', '_'), '_+', '_', 'g') AS r0
+           FROM planted),
+         a AS (
+           SELECT doc_id, raw_relation,
+             CASE r0
+               WHEN 'claim_satisfies' THEN 'claims_satisfies' WHEN 'claims_satisfy' THEN 'claims_satisfies'
+               WHEN 'claims_satisfies_requirement' THEN 'claims_satisfies'
+               WHEN 'satisfy' THEN 'satisfies' WHEN 'satisfies_requirement' THEN 'satisfies'
+               WHEN 'satisfies_requirements' THEN 'satisfies' WHEN 'satisfies_req' THEN 'satisfies'
+               WHEN 'partial_satisfies' THEN 'partially_satisfies'
+               WHEN 'partially_satisfies_requirement' THEN 'partially_satisfies'
+               WHEN 'establish' THEN 'establishes' WHEN 'established' THEN 'establishes'
+               WHEN 'establishes_doctrine' THEN 'establishes'
+               WHEN 'enable' THEN 'enables' WHEN 'enabling' THEN 'enables'
+               WHEN 'permits' THEN 'enables' WHEN 'allows' THEN 'enables' WHEN 'facilitates' THEN 'enables'
+               WHEN 'conflicts' THEN 'conflicts_with' WHEN 'conflict' THEN 'conflicts_with'
+               WHEN 'conflict_with' THEN 'conflicts_with'
+               WHEN 'respond_to' THEN 'responds_to' WHEN 'responds' THEN 'responds_to'
+               WHEN 'support' THEN 'supports'
+               WHEN 'supports_argument' THEN 'supports_arg' WHEN 'supportsarg' THEN 'supports_arg'
+               WHEN 'attack' THEN 'attacks' WHEN 'undercut' THEN 'undercuts'
+               WHEN 'rebut' THEN 'rebuts' WHEN 'ground' THEN 'grounds'
+               WHEN 'address' THEN 'addresses' WHEN 'require' THEN 'requires'
+               ELSE r0 END AS r
+           FROM n)
+         SELECT doc_id, raw_relation,
+           CASE
+             WHEN list_contains(['supports','grounds','rebuts','undercuts','attacks','supports_arg',
+               'responds_to','concedes','addresses','resolves','partially_resolves',
+               'determines','contributes_to','triggers','negates','satisfies',
+               'partially_satisfies','claims_satisfies','requires','excludes',
+               'specializes','conflicts_with','constrains','enables','establishes',
+               'follows','applies','distinguishes','overrules','doubts','explains',
+               'member_of'], r) THEN r
+             WHEN contains(r, 'satisf') THEN (CASE WHEN contains(r, 'partial') THEN 'partially_satisfies' ELSE 'satisfies' END)
+             WHEN contains(r, 'enable') OR contains(r, 'permit') OR contains(r, 'allow') THEN 'enables'
+             WHEN contains(r, 'establish') THEN 'establishes'
+             WHEN contains(r, 'conflict') OR contains(r, 'contradict') OR contains(r, 'inconsist') THEN 'conflicts_with'
+             WHEN contains(r, 'require') OR contains(r, 'necess') THEN 'requires'
+             WHEN contains(r, 'resolv') OR contains(r, 'answer') THEN 'resolves'
+             WHEN contains(r, 'determin') THEN 'determines'
+             WHEN contains(r, 'contribut') OR contains(r, 'cause') OR contains(r, 'lead') OR contains(r, 'result') THEN 'contributes_to'
+             WHEN contains(r, 'attack') THEN 'attacks'
+             WHEN contains(r, 'rebut') THEN 'rebuts'
+             WHEN contains(r, 'undercut') THEN 'undercuts'
+             ELSE 'supports' END AS relation
+         FROM a ORDER BY doc_id""",
+
     "q37_reachability" ->
       // depth-capped recursive BFS: rows are (conv, node, depth) triples —
       // a node enters the result iff first reachable within 10 hops, the
