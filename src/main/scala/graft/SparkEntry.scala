@@ -401,6 +401,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- C12 quality-tier grading: synthesized warning lists + structural
+    //     flags from doc_id arithmetic feed the REAL GraphAssembly
+    //     .computeTier (one template string per warning class, so the
+    //     error/substantive/cosmetic classifier is exercised); the DuckDB
+    //     oracle rebuilds the counts and mirrors the thresholds ---
+    "q39_quality_tier" -> ((s, dir) => {
+      val tierU = udf((nerr: Int, nsub: Int, ncos: Int, h: Boolean, o: Boolean, c: Boolean) => {
+        val ws = Seq.fill(nerr)("edge e1: target not found") ++
+          Seq.fill(nsub)("unusual actor surface form") ++
+          Seq.fill(ncos)("edge e2 repaired: direction flipped")
+        graft.kg.extract.GraphAssembly.computeTier(ws, h, o, c)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 8).cast("int").as("n_err"),
+          ((col("doc_id") * 3) % 40).cast("int").as("n_sub"),
+          (col("doc_id") % 3).cast("int").as("n_cos"),
+          (col("doc_id") % 5 =!= 0).as("h"),
+          (col("doc_id") % 6 =!= 0).as("o"),
+          (col("doc_id") % 7 =!= 0).as("c"))
+        .select(col("doc_id"),
+          tierU(col("n_err"), col("n_sub"), col("n_cos"), col("h"), col("o"), col("c")).as("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- V3/V4 actor coercion over planted messy actor strings (alias
+    //     table + substring heuristics + third_party fallback); mirror
+    //     inlines normalize + aliases + the full cascade ---
+    "q40_actor_coerce" -> ((s, dir) => {
+      val messy = Seq(
+        "Union of India", "Govt", "STATE", "writ-petitioner", "Plaintiff",
+        "the appellate authority", "Opposite  Party", "convict", "PP",
+        "informant", "Sessions Court", "High Court", "tribunal", "amicus curiae",
+        "expert witness", "random person", "Municipal Board", "claiming party",
+        "appellate", "friend_of_court")
+      val coerceU = udf((t: String) => graft.kg.rules.Actors.coerceActor(t))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(messy.map(lit): _*), (col("doc_id") % 20).cast("int") + 1).as("raw_actor"))
+        .select(col("doc_id"), col("raw_actor"),
+          coerceU(col("raw_actor")).as("actor"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -667,6 +711,96 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q39_quality_tier" ->
+      // the computeTier thresholds (extractor.py:4832-4862) over the same
+      // synthesized warning counts: the planted template per class is
+      // constant, so error/substantive/cosmetic counts reduce to the doc_id
+      // arithmetic (the string classifier itself runs on the Spark side)
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(doc_id % 8 AS INT) AS n_err,
+             CAST((doc_id * 3) % 40 AS INT) AS n_sub,
+             doc_id % 5 <> 0 AS h, doc_id % 6 <> 0 AS o, doc_id % 7 <> 0 AS c
+           FROM documents)
+         SELECT doc_id,
+           CASE
+             WHEN n_err = 0 AND n_sub <= 15 AND h AND o AND c THEN 'gold'
+             WHEN n_err <= 2 AND n_sub <= 30 AND h AND o THEN 'silver'
+             WHEN n_err <= 5 THEN 'bronze'
+             ELSE 'reject' END AS tier
+         FROM t ORDER BY doc_id""",
+
+    "q40_actor_coerce" ->
+      // normalize_actor_type + coerce_actor_type (extractor.py:431-563):
+      // canon key, alias table, 10-value enum check, substring cascade in
+      // the reference's branch order (court before amicus, authority before
+      // appellant), third_party fallback
+      """WITH planted AS (
+           SELECT doc_id,
+             (['Union of India','Govt','STATE','writ-petitioner','Plaintiff',
+               'the appellate authority','Opposite  Party','convict','PP',
+               'informant','Sessions Court','High Court','tribunal','amicus curiae',
+               'expert witness','random person','Municipal Board','claiming party',
+               'appellate','friend_of_court'])[CAST(doc_id % 20 AS INT) + 1] AS raw_actor
+           FROM documents),
+         n AS (
+           SELECT doc_id, raw_actor,
+             regexp_replace(replace(replace(lower(trim(raw_actor)), '-', '_'), ' ', '_'), '_+', '_', 'g') AS k
+           FROM planted),
+         a AS (
+           SELECT doc_id, raw_actor,
+             CASE k
+               WHEN 'union' THEN 'respondent' WHEN 'uoi' THEN 'respondent'
+               WHEN 'union_of_india' THEN 'respondent' WHEN 'government' THEN 'respondent'
+               WHEN 'govt' THEN 'respondent' WHEN 'state' THEN 'respondent' WHEN 'states' THEN 'respondent'
+               WHEN 'state_government' THEN 'respondent' WHEN 'central_government' THEN 'respondent'
+               WHEN 'central_govt' THEN 'respondent' WHEN 'authority' THEN 'respondent'
+               WHEN 'authorities' THEN 'respondent' WHEN 'department' THEN 'respondent'
+               WHEN 'ministry' THEN 'respondent' WHEN 'corporation' THEN 'respondent'
+               WHEN 'public_authority' THEN 'respondent'
+               WHEN 'appellant' THEN 'appellant' WHEN 'petitioner' THEN 'petitioner'
+               WHEN 'applicant' THEN 'petitioner' WHEN 'plaintiff' THEN 'petitioner'
+               WHEN 'claimant' THEN 'petitioner' WHEN 'writ_petitioner' THEN 'petitioner'
+               WHEN 'respondent' THEN 'respondent' WHEN 'defendant' THEN 'respondent'
+               WHEN 'opposite_party' THEN 'respondent' WHEN 'opp_party' THEN 'respondent'
+               WHEN 'accused' THEN 'accused' WHEN 'convict' THEN 'accused' WHEN 'prisoner' THEN 'accused'
+               WHEN 'prosecution' THEN 'prosecution' WHEN 'public_prosecutor' THEN 'prosecution'
+               WHEN 'pp' THEN 'prosecution' WHEN 'complainant' THEN 'complainant'
+               WHEN 'informant' THEN 'complainant'
+               WHEN 'court' THEN 'court' WHEN 'bench' THEN 'court' WHEN 'judge' THEN 'court'
+               WHEN 'tribunal' THEN 'court' WHEN 'lower_court' THEN 'lower_court'
+               WHEN 'high_court' THEN 'lower_court' WHEN 'trial_court' THEN 'lower_court'
+               WHEN 'sessions_court' THEN 'lower_court' WHEN 'magistrate' THEN 'lower_court'
+               WHEN 'appellate_authority' THEN 'lower_court'
+               WHEN 'amicus' THEN 'amicus' WHEN 'amicus_curiae' THEN 'amicus'
+               WHEN 'intervenor' THEN 'third_party' WHEN 'intervener' THEN 'third_party'
+               WHEN 'third_party' THEN 'third_party' WHEN 'witness' THEN 'third_party'
+               WHEN 'expert' THEN 'third_party'
+               ELSE k END AS v
+           FROM n)
+         SELECT doc_id, raw_actor,
+           CASE
+             WHEN list_contains(['petitioner','respondent','court','lower_court','amicus',
+               'third_party','appellant','complainant','accused','prosecution'], v) THEN v
+             WHEN contains(v,'gov') OR contains(v,'union') OR contains(v,'state') OR contains(v,'ministry')
+               OR contains(v,'department') OR contains(v,'authority') OR contains(v,'board')
+               OR contains(v,'commission') OR contains(v,'corporation') OR contains(v,'municipal')
+               OR contains(v,'council') OR contains(v,'committee') THEN 'respondent'
+             WHEN contains(v,'petition') OR contains(v,'applic') OR contains(v,'plaintiff')
+               OR contains(v,'claim') OR contains(v,'writ') THEN 'petitioner'
+             WHEN contains(v,'appell') THEN 'appellant'
+             WHEN contains(v,'respond') OR contains(v,'defend') OR contains(v,'opposite') THEN 'respondent'
+             WHEN contains(v,'accuse') OR contains(v,'convict') OR contains(v,'prisoner') THEN 'accused'
+             WHEN contains(v,'prosecu') OR contains(v,'public_prosecutor') THEN 'prosecution'
+             WHEN contains(v,'complain') OR contains(v,'inform') THEN 'complainant'
+             WHEN contains(v,'court') OR contains(v,'bench') OR contains(v,'judge') OR contains(v,'tribunal') THEN
+               (CASE WHEN contains(v,'lower') OR contains(v,'trial') OR contains(v,'session')
+                       OR contains(v,'magistrat') OR contains(v,'high_court') THEN 'lower_court'
+                     ELSE 'court' END)
+             WHEN contains(v,'amicus') OR contains(v,'friend_of_court') THEN 'amicus'
+             ELSE 'third_party' END AS actor
+         FROM a ORDER BY doc_id""",
+
     "q38_relation_coerce" ->
       // normalize (extractor.py:282-291) + alias map + 32-value enum check +
       // coercion cascade (extractor.py:294-329), all inline
