@@ -445,6 +445,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- V5/V6 id→type prefixes + relation validation matrix over planted
+    //     (source, target, relation) triples spanning valid pairs, invalid
+    //     relations, undefined type pairs and unknown/js/rc ids ---
+    "q41_relation_validate" -> ((s, dir) => {
+      val triples = Seq(
+        ("f1", "c2", "triggers"), ("f2", "a1", "supports"), ("f3", "h1", "grounds"),
+        ("f4", "i1", "addresses"), ("c1", "c2", "requires"), ("c3", "h2", "enables"),
+        ("a1", "i1", "concedes"), ("a2", "a3", "responds_to"), ("h1", "i1", "resolves"),
+        ("h2", "outcome", "determines"), ("h3", "p1", "follows"), ("p1", "h1", "supports"),
+        ("p2", "c1", "establishes"), ("i1", "c1", "requires"), ("f1", "c2", "supports"),
+        ("f1", "p1", "supports"), ("c1", "i1", "grounds"), ("xy9", "h1", "supports"),
+        ("js1", "rc1", "supports"), ("h1", "h2", "conflicts_with"))
+      val srcA = array(triples.map(t => lit(t._1)): _*)
+      val tgtA = array(triples.map(t => lit(t._2)): _*)
+      val relA = array(triples.map(t => lit(t._3)): _*)
+      val typeU = udf((id: String) => graft.kg.rules.Relations.nodeTypeFromId(id))
+      val validU = udf((a: String, b: String, r: String) =>
+        graft.kg.rules.Relations.validate(a, b, r)._1)
+      val idx = (col("doc_id") % 20).cast("int") + 1
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(srcA, idx).as("src"), element_at(tgtA, idx).as("tgt"),
+          element_at(relA, idx).as("relation"))
+        .select(col("doc_id"), col("src"), col("tgt"), col("relation"),
+          typeU(col("src")).as("src_type"), typeU(col("tgt")).as("tgt_type"),
+          validU(col("src"), col("tgt"), col("relation")).cast("int").as("valid"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -711,6 +740,71 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q41_relation_validate" ->
+      // nodeTypeFromId (prefix + all-digit-or-underscore suffix,
+      // extractor.py:609-633) and the (type,type)→relations matrix
+      // (extractor.py:568-607) inline
+      """WITH planted AS (
+           SELECT doc_id,
+             (['f1','f2','f3','f4','c1','c3','a1','a2','h1','h2','h3','p1','p2','i1','f1','f1','c1','xy9','js1','h1'])[CAST(doc_id % 20 AS INT) + 1] AS src,
+             (['c2','a1','h1','i1','c2','h2','i1','a3','i1','outcome','p1','h1','c1','c1','c2','p1','i1','h1','rc1','h2'])[CAST(doc_id % 20 AS INT) + 1] AS tgt,
+             (['triggers','supports','grounds','addresses','requires','enables','concedes','responds_to','resolves','determines','follows','supports','establishes','requires','supports','supports','grounds','supports','supports','conflicts_with'])[CAST(doc_id % 20 AS INT) + 1] AS relation
+           FROM documents),
+         typed AS (
+           SELECT doc_id, src, tgt, relation,
+             CASE WHEN src = 'outcome' THEN 'outcome'
+                  WHEN regexp_matches(src, '^js([0-9]+|_.*)$') THEN 'justification_set'
+                  WHEN regexp_matches(src, '^rc([0-9]+|_.*)$') THEN 'reasoning_chain'
+                  WHEN regexp_matches(src, '^f([0-9]+|_.*)$') THEN 'fact'
+                  WHEN regexp_matches(src, '^c([0-9]+|_.*)$') THEN 'concept'
+                  WHEN regexp_matches(src, '^i([0-9]+|_.*)$') THEN 'issue'
+                  WHEN regexp_matches(src, '^a([0-9]+|_.*)$') THEN 'argument'
+                  WHEN regexp_matches(src, '^h([0-9]+|_.*)$') THEN 'holding'
+                  WHEN regexp_matches(src, '^p([0-9]+|_.*)$') THEN 'precedent'
+                  ELSE 'unknown' END AS src_type,
+             CASE WHEN tgt = 'outcome' THEN 'outcome'
+                  WHEN regexp_matches(tgt, '^js([0-9]+|_.*)$') THEN 'justification_set'
+                  WHEN regexp_matches(tgt, '^rc([0-9]+|_.*)$') THEN 'reasoning_chain'
+                  WHEN regexp_matches(tgt, '^f([0-9]+|_.*)$') THEN 'fact'
+                  WHEN regexp_matches(tgt, '^c([0-9]+|_.*)$') THEN 'concept'
+                  WHEN regexp_matches(tgt, '^i([0-9]+|_.*)$') THEN 'issue'
+                  WHEN regexp_matches(tgt, '^a([0-9]+|_.*)$') THEN 'argument'
+                  WHEN regexp_matches(tgt, '^h([0-9]+|_.*)$') THEN 'holding'
+                  WHEN regexp_matches(tgt, '^p([0-9]+|_.*)$') THEN 'precedent'
+                  ELSE 'unknown' END AS tgt_type
+           FROM planted)
+         SELECT doc_id, src, tgt, relation, src_type, tgt_type,
+           CASE WHEN len(list_filter(
+             CASE src_type || '->' || tgt_type
+               WHEN 'fact->concept' THEN ['triggers','negates','partially_satisfies','satisfies','claims_satisfies']
+               WHEN 'fact->argument' THEN ['supports','grounds','rebuts','undercuts']
+               WHEN 'fact->holding' THEN ['supports','grounds']
+               WHEN 'fact->issue' THEN ['triggers','supports','addresses']
+               WHEN 'concept->concept' THEN ['requires','excludes','specializes','conflicts_with']
+               WHEN 'concept->argument' THEN ['supports','grounds','rebuts','undercuts']
+               WHEN 'concept->holding' THEN ['grounds','constrains','supports','enables']
+               WHEN 'concept->issue' THEN ['requires','addresses']
+               WHEN 'argument->issue' THEN ['addresses','concedes']
+               WHEN 'argument->argument' THEN ['attacks','supports_arg','responds_to']
+               WHEN 'argument->holding' THEN ['supports','grounds','rebuts','undercuts']
+               WHEN 'argument->concept' THEN ['supports','grounds','rebuts','undercuts','claims_satisfies']
+               WHEN 'holding->issue' THEN ['resolves','partially_resolves','addresses']
+               WHEN 'holding->outcome' THEN ['determines','contributes_to']
+               WHEN 'holding->precedent' THEN ['follows','applies','distinguishes','overrules','doubts','explains']
+               WHEN 'holding->concept' THEN ['supports','grounds','constrains','undercuts','negates']
+               WHEN 'holding->holding' THEN ['supports','conflicts_with','specializes','constrains','undercuts']
+               WHEN 'precedent->concept' THEN ['supports','grounds','establishes']
+               WHEN 'precedent->holding' THEN ['supports']
+               WHEN 'precedent->argument' THEN ['supports']
+               WHEN 'precedent->issue' THEN ['addresses','supports']
+               WHEN 'issue->concept' THEN ['requires','addresses']
+               WHEN 'issue->holding' THEN ['addresses','requires']
+               WHEN 'issue->argument' THEN ['addresses','requires']
+               WHEN 'issue->precedent' THEN ['addresses']
+               WHEN 'issue->issue' THEN ['specializes','conflicts_with','requires']
+               ELSE CAST([] AS VARCHAR[]) END, x -> x = relation)) > 0 THEN 1 ELSE 0 END AS valid
+         FROM typed ORDER BY doc_id""",
+
     "q39_quality_tier" ->
       // the computeTier thresholds (extractor.py:4832-4862) over the same
       // synthesized warning counts: the planted template per class is
