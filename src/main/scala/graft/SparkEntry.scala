@@ -474,6 +474,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- J1 best-ontology-match over planted raw concept ids: exact id,
+    //     longest-substring id (ties → smallest), structured-prefix guard,
+    //     empty input, and a no-keyword-overlap miss — every deterministic
+    //     branch of bestConceptMatch (the keyword-argmax fallback fires only
+    //     on the provably-zero-overlap input, returning null both sides) ---
+    "q42_concept_match" -> ((s, dir) => {
+      val raw = Seq(
+        "DOCTRINE_PROPORTIONALITY_TEST", "PROPORTIONALITY", "CONFESSION", "BAIL",
+        "CONST_FOO", "STATUTE_BAR", "RIGHT_X", "zzzzqqqq", "MURDER", "")
+      val matchU = udf((cid: String) =>
+        graft.kg.ontology.Ontology.bestConceptMatch(
+          cid, "", graft.kg.ontology.Ontology.default.concepts).orNull)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(raw.map(lit): _*), (col("doc_id") % 10).cast("int") + 1).as("raw_cid"))
+        .select(col("doc_id"), col("raw_cid"), matchU(col("raw_cid")).as("matched"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -740,6 +759,35 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q42_concept_match" ->
+      // best_concept_match (extractor.py:1132-1194): exact id, else the
+      // LONGEST id containing the input (ties → lexicographically smallest,
+      // encoded as a (1000-len)-prefixed sort key), else null for
+      // structured prefixes / empty / zero-keyword-overlap inputs
+      """WITH ids AS (
+           SELECT ['CONCEPT_ACCUSED_EXAMINATION','CONCEPT_ADD_ACCUSED','CONCEPT_ANTICIPATORY_BAIL','CONCEPT_APPEAL_ACQUITTAL','CONCEPT_ARREST_WITHOUT_WARRANT','CONCEPT_ATTEMPT','CONCEPT_ATTEMPT_MURDER','CONCEPT_BAIL_HC_SESSIONS','CONCEPT_BURDEN_OF_PROOF','CONCEPT_CHEATING','CONCEPT_COMMON_INTENTION','CONCEPT_CONFESSION_ADMISSIBILITY','CONCEPT_CONFESSION_POLICE','CONCEPT_CONFESSION_RECORDING','CONCEPT_COURT_PRESUMPTION','CONCEPT_CO_ACCUSED_CONFESSION','CONCEPT_CRIMINAL_BREACH_TRUST','CONCEPT_CRIMINAL_INTIMIDATION','CONCEPT_CULPABLE_HOMICIDE','CONCEPT_DEATH_BY_NEGLIGENCE','CONCEPT_DEFAMATION','CONCEPT_DEFINITIONS','CONCEPT_DISCOVERY_CONFESSION','CONCEPT_DOWRY_DEATH','CONCEPT_DYING_DECLARATION','CONCEPT_ELECTRONIC_EVIDENCE','CONCEPT_EXPERT_OPINION','CONCEPT_FIR','CONCEPT_GANG_RAPE','CONCEPT_INHERENT_POWERS_HC','CONCEPT_MAINTENANCE','CONCEPT_MURDER','CONCEPT_POLICE_EXAMINATION','CONCEPT_RAPE_DEFINITION','CONCEPT_RAPE_PUNISHMENT','CONCEPT_REGULAR_BAIL','CONCEPT_RES_GESTAE','CONCEPT_ROBBERY/DACOITY','CONCEPT_SEDITION?SOVEREIGNTY','CONCEPT_SEXUAL_INTERCOURSE_BY_DECEIT','CONCEPT_SNATCHING','CONCEPT_THEFT','CONCEPT_UNDERTRIAL_DETENTION','DOCTRINE_BASIC_STRUCTURE','DOCTRINE_HARMONIOUS_CONSTRUCTION','DOCTRINE_LEGITIMATE_EXPECTATION','DOCTRINE_MANEKA_GANDHI_FRAMEWORK_DUE_PROCESS','DOCTRINE_MANIFEST_ARBITRARINESS','DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM','DOCTRINE_PITH_AND_SUBSTANCE','DOCTRINE_PROPORTIONALITY_TEST','DOCTRINE_READING_DOWN','DOCTRINE_REASONABLE_CLASSIFICATION_ARTICLE_14_TWIN_TEST','DOCTRINE_WEDNESBURY_UNREASONABLENESS'] AS l),
+         planted AS (
+           SELECT doc_id,
+             (['DOCTRINE_PROPORTIONALITY_TEST','PROPORTIONALITY','CONFESSION','BAIL',
+               'CONST_FOO','STATUTE_BAR','RIGHT_X','zzzzqqqq','MURDER',''])[CAST(doc_id % 10 AS INT) + 1] AS raw_cid
+           FROM documents),
+         m AS (
+           SELECT doc_id, raw_cid,
+             list_sort(list_transform(
+               list_filter((SELECT l FROM ids), x -> contains(x, trim(raw_cid)) AND trim(raw_cid) <> ''),
+               x -> lpad(CAST(1000 - length(x) AS VARCHAR), 4, '0') || x)) AS subs
+           FROM planted)
+         SELECT doc_id, raw_cid,
+           CASE
+             WHEN trim(raw_cid) = '' THEN NULL
+             WHEN list_contains((SELECT l FROM ids), trim(raw_cid)) THEN trim(raw_cid)
+             WHEN len(subs) > 0 THEN subs[1][5:]
+             WHEN starts_with(upper(trim(raw_cid)), 'CONST_') OR starts_with(upper(trim(raw_cid)), 'STATUTE_')
+               OR starts_with(upper(trim(raw_cid)), 'PROCEDURE_') OR starts_with(upper(trim(raw_cid)), 'REMEDY_')
+               OR starts_with(upper(trim(raw_cid)), 'RIGHT_') THEN NULL
+             ELSE NULL END AS matched
+         FROM m ORDER BY doc_id""",
+
     "q41_relation_validate" ->
       // nodeTypeFromId (prefix + all-digit-or-underscore suffix,
       // extractor.py:609-633) and the (type,type)→relations matrix
