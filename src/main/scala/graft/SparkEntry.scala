@@ -493,6 +493,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- P5 operative-tail window selection (the AYM last-occurrence
+    //     tiered-needle selector) over documents with planted Turkish
+    //     operative sections; the plain-tail and both needle tiers are
+    //     exercised (the KARAR header branch is regex-only and covered by
+    //     DocWindowSpec) ---
+    "q43_doc_window" -> ((s, dir) => {
+      val winU = udf((t: String) =>
+        graft.kg.text.DocWindow.selectWindow(t, 200, "tr", "outcome"))
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\nSONUÇ VE HÜKÜM\nBaşvurunun reddine karar verildi.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            lit("\nHÜKÜM: istinaf yolu açık olmak üzere.")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 3,
+            lit("\nSONUC bölümünde açıklandığı üzere.")).otherwise(lit(""))).as("text"))
+      planted
+        .select(col("doc_id"),
+          md5(winU(col("text"))).as("window_hash"),
+          length(winU(col("text"))).as("window_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -759,6 +782,49 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q43_doc_window" ->
+      // aym_operative_window (extractor.py:172-234): Turkish-lower the text
+      // (translate then lower — 1:1 char mapping, so needle indices carry
+      // over to the original), find the LAST occurrence of the
+      // highest-priority needle present via reverse+strpos, take the tail
+      // window from it (last 200 chars if longer); plain 200-char tail when
+      // no needle occurs
+      """WITH planted AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'SONUÇ VE HÜKÜM' || chr(10) || 'Başvurunun reddine karar verildi.' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 1 THEN chr(10) || 'HÜKÜM: istinaf yolu açık olmak üzere.' ELSE '' END ||
+             CASE WHEN doc_id % 4 = 3 THEN chr(10) || 'SONUC bölümünde açıklandığı üzere.' ELSE '' END AS text
+           FROM documents),
+         low AS (
+           SELECT doc_id, text,
+             lower(translate(text, 'İIŞÇÖÜĞ', 'iışçöüğ')) AS l
+           FROM planted),
+         pos AS (
+           SELECT doc_id, text, l,
+             CASE
+               WHEN contains(l, 'sonuç ve hüküm') THEN length(l) - (strpos(reverse(l), reverse('sonuç ve hüküm')) - 1) - length('sonuç ve hüküm')
+               WHEN contains(l, 'sonuc ve hukum') THEN length(l) - (strpos(reverse(l), reverse('sonuc ve hukum')) - 1) - length('sonuc ve hukum')
+               WHEN contains(l, 'sonuç ve karar') THEN length(l) - (strpos(reverse(l), reverse('sonuç ve karar')) - 1) - length('sonuç ve karar')
+               WHEN contains(l, 'hüküm') THEN length(l) - (strpos(reverse(l), reverse('hüküm')) - 1) - length('hüküm')
+               WHEN contains(l, 'hukum') THEN length(l) - (strpos(reverse(l), reverse('hukum')) - 1) - length('hukum')
+               WHEN contains(l, 'sonuç') THEN length(l) - (strpos(reverse(l), reverse('sonuç')) - 1) - length('sonuç')
+               WHEN contains(l, 'sonuc') THEN length(l) - (strpos(reverse(l), reverse('sonuc')) - 1) - length('sonuc')
+               ELSE -1 END AS idx0
+           FROM low),
+         win AS (
+           SELECT doc_id,
+             CASE WHEN idx0 >= 0 THEN
+               (CASE WHEN length(text) - idx0 > 200
+                     THEN right(substr(text, idx0 + 1), 200)
+                     ELSE substr(text, idx0 + 1) END)
+             ELSE
+               (CASE WHEN length(text) > 200 THEN right(text, 200) ELSE text END)
+             END AS w
+           FROM pos)
+         SELECT doc_id, md5(w) AS window_hash, length(w) AS window_len
+         FROM win ORDER BY doc_id""",
+
     "q42_concept_match" ->
       // best_concept_match (extractor.py:1132-1194): exact id, else the
       // LONGEST id containing the input (ties → lexicographically smallest,
