@@ -516,6 +516,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- M7 quote→span alignment over documents: quotes cut from the doc
+    //     itself (exact path), uppercased (case-insensitive fallback) or
+    //     unfindable (None); the corpus is whitespace-clean, so the
+    //     normalization index map is identity here and the DuckDB oracle
+    //     mirrors with strpos (the ws-collapse offset mapping itself is
+    //     property-tested in TextProps) ---
+    "q44_quote_align" -> ((s, dir) => {
+      val alignU = udf((t: String, q: String) =>
+        graft.kg.text.Normalize.alignQuote(t, q) match {
+          case Some((a, b)) => Array(a, b)
+          case None => null
+        })
+      val planted = pq(s, dir, "documents").select(col("doc_id"), col("text"),
+        when(col("doc_id") % 3 === 0, substring(col("text"), 51, 40))
+          .when(col("doc_id") % 3 === 1, upper(substring(col("text"), 21, 30)))
+          .otherwise(lit("zz unfindable phrase qq")).as("quote"))
+      planted
+        .select(col("doc_id"),
+          element_at(alignU(col("text"), col("quote")), 1).as("start"),
+          element_at(alignU(col("text"), col("quote")), 2).as("end"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -782,6 +805,29 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q44_quote_align" ->
+      // align_quote_to_span (extractor.py:792-846) on ws-clean text: trim
+      // the quote, exact indexOf, case-insensitive fallback, None when
+      // absent/empty; offsets are 0-based [start, end)
+      """WITH planted AS (
+           SELECT doc_id, text,
+             CASE WHEN doc_id % 3 = 0 THEN substr(text, 51, 40)
+                  WHEN doc_id % 3 = 1 THEN upper(substr(text, 21, 30))
+                  ELSE 'zz unfindable phrase qq' END AS quote
+           FROM documents),
+         t AS (SELECT doc_id, text, trim(quote) AS q FROM planted),
+         p AS (
+           SELECT doc_id, q,
+             CASE WHEN q = '' THEN 0
+                  WHEN strpos(text, q) > 0 THEN strpos(text, q)
+                  WHEN strpos(lower(text), lower(q)) > 0 THEN strpos(lower(text), lower(q))
+                  ELSE 0 END AS pos1
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN pos1 > 0 THEN CAST(pos1 - 1 AS INT) END AS start,
+           CASE WHEN pos1 > 0 THEN CAST(pos1 - 1 + length(q) AS INT) END AS "end"
+         FROM p ORDER BY doc_id""",
+
     "q43_doc_window" ->
       // aym_operative_window (extractor.py:172-234): Turkish-lower the text
       // (translate then lower — 1:1 char mapping, so needle indices carry
