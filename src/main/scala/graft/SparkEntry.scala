@@ -539,6 +539,94 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- G5 Toulmin structure at table scale: GraphOps.toulmin over a
+    //     deterministic node/edge graph derived from orders (source type
+    //     and relation cycle by o_orderkey, targets are per-customer
+    //     argument nodes); arrays stringified for the comparator ---
+    "q45_toulmin" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val typeIdx = (col("o_orderkey") % 3 + 1).cast("int")
+      val srcId = concat(
+        element_at(array(lit("f"), lit("c"), lit("p")), typeIdx),
+        col("o_orderkey") % 7)
+      val tgtId = concat(lit("a"), col("o_orderkey") % 3)
+      val rel = element_at(
+        array(lit("supports"), lit("attacks"), lit("rebuts"), lit("grounds")),
+        (col("o_orderkey") % 4 + 1).cast("int"))
+      val conv = col("o_custkey").cast("string").as("convId")
+      val nodes = o.select(conv, srcId.as("id"),
+          element_at(array(lit("fact"), lit("concept"), lit("precedent")), typeIdx).as("nodeType"))
+        .union(o.select(conv, tgtId.as("id"), lit("argument").as("nodeType")))
+        .distinct()
+      val edges = o.select(conv, srcId.as("source"), tgtId.as("target"), rel.as("relation"))
+      graft.kg.query.GraphOps.toulmin(nodes, edges)
+        .select(col("conv_id"), col("argument_id"),
+          concat_ws(",", col("grounds")).as("grounds"),
+          concat_ws(",", col("warrants")).as("warrants"),
+          concat_ws(",", col("backing")).as("backing"),
+          concat_ws(",", col("rebuttals")).as("rebuttals"))
+        .orderBy(col("conv_id"), col("argument_id"))
+    }),
+
+    // --- G6/G7/G8 graph operators over a deterministic planted graph
+    //     derived from orders: per order an edge {f|c}(okey%5) →
+    //     h(okey%3) with relation cycling (grounds/supports/addresses),
+    //     one justification set per holding (logic and/or/and) ---
+    "q46_holding_support" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val conv = col("o_custkey").cast("string").as("convId")
+      val tIdx = (col("o_orderkey") % 2 + 1).cast("int")
+      val srcId = concat(element_at(array(lit("f"), lit("c")), tIdx), col("o_orderkey") % 5)
+      val srcType = element_at(array(lit("fact"), lit("concept")), tIdx)
+      val tgt = concat(lit("h"), col("o_orderkey") % 3)
+      val rel = element_at(array(lit("grounds"), lit("supports"), lit("addresses")),
+        (col("o_orderkey") % 3 + 1).cast("int"))
+      val nodes = o.select(conv, srcId.as("id"), srcType.as("nodeType"))
+        .union(o.select(conv, tgt.as("id"), lit("holding").as("nodeType"))).distinct()
+      val edges = o.select(conv, srcId.as("source"), tgt.as("target"), rel.as("relation"))
+      val js = o.select(conv, concat(lit("js"), col("o_orderkey") % 3).as("id"),
+        tgt.as("targetId")).distinct()
+      graft.kg.query.GraphOps.holdingSupport(nodes, edges, js)
+        .select(col("conv_id"), col("holding_id"),
+          concat_ws(",", col("grounding_concepts")).as("grounding_concepts"),
+          concat_ws(",", col("supporting_facts")).as("supporting_facts"),
+          concat_ws(",", col("justification_sets")).as("justification_sets"))
+        .orderBy(col("conv_id"), col("holding_id"))
+    }),
+    "q47_counterfactual" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val conv = col("o_custkey").cast("string").as("convId")
+      val tIdx = (col("o_orderkey") % 2 + 1).cast("int")
+      val srcId = concat(element_at(array(lit("f"), lit("c")), tIdx), col("o_orderkey") % 5)
+      val srcType = element_at(array(lit("fact"), lit("concept")), tIdx)
+      val tgt = concat(lit("h"), col("o_orderkey") % 3)
+      val rel = element_at(array(lit("grounds"), lit("supports"), lit("addresses")),
+        (col("o_orderkey") % 3 + 1).cast("int"))
+      val nodes = o.select(conv, srcId.as("id"), srcType.as("nodeType"))
+        .union(o.select(conv, tgt.as("id"), lit("holding").as("nodeType"))).distinct()
+      val edges = o.select(conv, concat(lit("e"), col("o_orderkey")).as("id"),
+        srcId.as("source"), tgt.as("target"), rel.as("relation"),
+        array(concat(lit("js"), col("o_orderkey") % 3)).as("supportGroupIds"))
+      val js = o.select(conv, concat(lit("js"), col("o_orderkey") % 3).as("id"),
+        tgt.as("targetId"),
+        element_at(array(lit("and"), lit("or"), lit("and")),
+          (col("o_orderkey") % 3 + 1).cast("int")).as("logic"),
+        lit(true).as("isPrimary")).distinct()
+      graft.kg.query.GraphOps.counterfactual(nodes, edges, js, "f0")
+        .orderBy(col("conv_id"), col("holding_id"))
+    }),
+    "q48_js_members" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val conv = col("o_custkey").cast("string").as("convId")
+      val tIdx = (col("o_orderkey") % 2 + 1).cast("int")
+      val srcId = concat(element_at(array(lit("f"), lit("c")), tIdx), col("o_orderkey") % 5)
+      val edges = o.select(conv, concat(lit("e"), col("o_orderkey")).as("id"),
+        srcId.as("source"),
+        array(concat(lit("js"), col("o_orderkey") % 3)).as("supportGroupIds"))
+      graft.kg.query.GraphOps.justificationMembers(edges)
+        .orderBy(col("conv_id"), col("edge_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -805,6 +893,94 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q46_holding_support" ->
+      // get_holding_support (schema_v2_1.py:807-836): grounding_concepts =
+      // sources of ALL grounds in-edges (no type filter), supporting_facts =
+      // fact-typed supports sources, plus the js ids targeting the holding
+      """WITH o AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+             (['f','c'])[CAST(o_orderkey % 2 AS INT) + 1] || CAST(o_orderkey % 5 AS VARCHAR) AS source,
+             (['fact','concept'])[CAST(o_orderkey % 2 AS INT) + 1] AS src_type,
+             'h' || CAST(o_orderkey % 3 AS VARCHAR) AS holding_id,
+             (['grounds','supports','addresses'])[CAST(o_orderkey % 3 AS INT) + 1] AS relation
+           FROM orders),
+         sup AS (
+           SELECT conv_id, holding_id,
+             coalesce(array_to_string(list_sort(list(source) FILTER (WHERE relation = 'grounds')), ','), '') AS grounding_concepts,
+             coalesce(array_to_string(list_sort(list(source) FILTER (WHERE src_type = 'fact' AND relation = 'supports')), ','), '') AS supporting_facts
+           FROM o GROUP BY conv_id, holding_id),
+         js AS (
+           SELECT DISTINCT conv_id, holding_id, 'js' || holding_id[2:] AS js_id FROM o),
+         jsa AS (
+           SELECT conv_id, holding_id, array_to_string(list_sort(list(js_id)), ',') AS justification_sets
+           FROM js GROUP BY conv_id, holding_id)
+         SELECT s.conv_id, s.holding_id, s.grounding_concepts, s.supporting_facts,
+                coalesce(j.justification_sets, '') AS justification_sets
+         FROM sup s LEFT JOIN jsa j ON s.conv_id = j.conv_id AND s.holding_id = j.holding_id
+         ORDER BY s.conv_id, s.holding_id""",
+
+    "q47_counterfactual" ->
+      // counterfactual_remove_node_v4 (extractor.py:4372-4460): per primary
+      // justification set, AND logic breaks on any removed member, OR logic
+      // only when every member is removed; a holding is unsupported when all
+      // its primary sets break
+      """WITH o AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+             (['f','c'])[CAST(o_orderkey % 2 AS INT) + 1] || CAST(o_orderkey % 5 AS VARCHAR) AS source,
+             'h' || CAST(o_orderkey % 3 AS VARCHAR) AS holding_id,
+             'js' || CAST(o_orderkey % 3 AS VARCHAR) AS js_id,
+             (['and','or','and'])[CAST(o_orderkey % 3 AS INT) + 1] AS logic
+           FROM orders),
+         perjs AS (
+           SELECT conv_id, holding_id, js_id, logic,
+             count(*) AS n_members,
+             count(*) FILTER (WHERE source = 'f0') AS n_removed
+           FROM o GROUP BY conv_id, holding_id, js_id, logic),
+         broken AS (
+           SELECT conv_id, holding_id,
+             bool_and(CASE WHEN logic = 'and' THEN n_removed > 0
+                           ELSE n_removed = n_members END) AS unsupported
+           FROM perjs GROUP BY conv_id, holding_id)
+         SELECT conv_id, holding_id FROM broken WHERE unsupported
+         ORDER BY conv_id, holding_id""",
+
+    "q48_js_members" ->
+      // get_justification_members (schema_v2_1.py:778-779): explode the
+      // edge→support-group memberships
+      """SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+             'e' || CAST(o_orderkey AS VARCHAR) AS edge_id,
+             (['f','c'])[CAST(o_orderkey % 2 AS INT) + 1] || CAST(o_orderkey % 5 AS VARCHAR) AS source,
+             'js' || CAST(o_orderkey % 3 AS VARCHAR) AS js_id
+         FROM orders ORDER BY conv_id, edge_id""",
+
+    "q45_toulmin" ->
+      // get_toulmin_structure (schema_v2_1.py:781-806): SUPPORTS in-edges
+      // bucket by source type (fact→grounds, concept→warrants,
+      // precedent→backing); attacks/rebuts/undercuts → rebuttals; all other
+      // relations contribute nothing
+      """WITH o AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+             (['f','c','p'])[CAST(o_orderkey % 3 AS INT) + 1] || CAST(o_orderkey % 7 AS VARCHAR) AS source,
+             (['fact','concept','precedent'])[CAST(o_orderkey % 3 AS INT) + 1] AS src_type,
+             'a' || CAST(o_orderkey % 3 AS VARCHAR) AS target,
+             (['supports','attacks','rebuts','grounds'])[CAST(o_orderkey % 4 AS INT) + 1] AS relation
+           FROM orders),
+         b AS (
+           SELECT conv_id, target AS argument_id, source,
+             CASE WHEN relation IN ('attacks','rebuts','undercuts') THEN 'rebuttals'
+                  WHEN relation = 'supports' AND src_type = 'fact' THEN 'grounds'
+                  WHEN relation = 'supports' AND src_type = 'concept' THEN 'warrants'
+                  WHEN relation = 'supports' AND src_type = 'precedent' THEN 'backing'
+                  ELSE 'other' END AS bucket
+           FROM o)
+         SELECT conv_id, argument_id,
+           coalesce(array_to_string(list_sort(list(source) FILTER (WHERE bucket = 'grounds')), ','), '') AS grounds,
+           coalesce(array_to_string(list_sort(list(source) FILTER (WHERE bucket = 'warrants')), ','), '') AS warrants,
+           coalesce(array_to_string(list_sort(list(source) FILTER (WHERE bucket = 'backing')), ','), '') AS backing,
+           coalesce(array_to_string(list_sort(list(source) FILTER (WHERE bucket = 'rebuttals')), ','), '') AS rebuttals
+         FROM b GROUP BY conv_id, argument_id
+         ORDER BY conv_id, argument_id""",
+
     "q44_quote_align" ->
       // align_quote_to_span (extractor.py:792-846) on ws-clean text: trim
       // the quote, exact indexOf, case-insensitive fallback, None when
