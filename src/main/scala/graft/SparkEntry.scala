@@ -627,6 +627,38 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("edge_id"))
     }),
 
+    // --- C13 per-graph quality scoring (evaluate_graphs.py:90-305) over a
+    //     planted graph with controlled validity/connectivity/resolution/
+    //     anchor mixes: invalid 'addresses' edges, never-referenced issue
+    //     nodes, degenerate and null anchors ---
+    "q49_graph_quality" -> ((s, dir) => {
+      val o = pq(s, dir, "orders")
+      val conv = col("o_custkey").cast("string").as("convId")
+      val tIdx = (col("o_orderkey") % 2 + 1).cast("int")
+      val d = (col("o_orderkey") % 5).cast("int")
+      val srcId = concat(element_at(array(lit("f"), lit("c")), tIdx), d)
+      val srcType = element_at(array(lit("fact"), lit("concept")), tIdx)
+      val hNum = (col("o_orderkey") % 3).cast("int")
+      val tgt = concat(lit("h"), hNum)
+      val rel = element_at(array(lit("grounds"), lit("supports"), lit("addresses")), hNum + 1)
+      val anchorOf = (end: org.apache.spark.sql.Column) =>
+        struct(lit(0).as("startChar"), end.as("endChar"))
+      val srcNodes = o.select(conv, srcId.as("id"), srcType.as("nodeType"),
+        lit(null).cast("string").as("resolvesIssue"),
+        when(d === 4, lit(null)).otherwise(anchorOf(d % 3)).as("anchor"))
+      val hNodes = o.select(conv, tgt.as("id"), lit("holding").as("nodeType"),
+        when(hNum === 0, "i0").when(hNum === 1, "i1")
+          .otherwise(lit(null).cast("string")).as("resolvesIssue"),
+        anchorOf(lit(1)).as("anchor"))
+      val iNodes = o.select(conv).distinct()
+        .select(col("convId"), explode(array(lit("i0"), lit("i1"))).as("id"))
+        .select(col("convId"), col("id"), lit("issue").as("nodeType"),
+          lit(null).cast("string").as("resolvesIssue"), anchorOf(lit(1)).as("anchor"))
+      val nodes = srcNodes.union(hNodes).distinct().union(iNodes)
+      val edges = o.select(conv, srcId.as("source"), tgt.as("target"), rel.as("relation"))
+      graft.kg.query.GraphQuality.score(nodes, edges).orderBy(col("conv_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -893,6 +925,61 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q49_graph_quality" ->
+      // the four per-conversation shares + weighted 1-10 score
+      // (evaluate_graphs.py:90-305): validity = share of edges whose
+      // (fact|concept)→holding relation is matrix-allowed (addresses is
+      // not); connectivity = share of non-outcome nodes that are edge
+      // endpoints (the 2 planted issues never are); resolution = share of
+      // issues some holding resolves; anchors = share of nodes with a
+      // non-null, non-degenerate anchor
+      """WITH o AS (
+           SELECT CAST(o_custkey AS VARCHAR) AS conv_id,
+             CAST(o_orderkey % 5 AS INT) AS d,
+             CAST(o_orderkey % 2 AS INT) AS t,
+             CAST(o_orderkey % 3 AS INT) AS h
+           FROM orders),
+         validity AS (
+           SELECT conv_id,
+             round(CAST(count(*) FILTER (WHERE h <> 2) * 1.0 / count(*) AS DECIMAL(18,8)), 4) AS edge_validity
+           FROM o GROUP BY conv_id),
+         srcs AS (SELECT DISTINCT conv_id, t, d FROM o),
+         holds AS (SELECT DISTINCT conv_id, h FROM o),
+         counts AS (
+           SELECT s.conv_id, ns, nh,
+             nsrc_anchor_ok
+           FROM (SELECT conv_id, count(*) AS ns,
+                   count(*) FILTER (WHERE d IN (1, 2)) AS nsrc_anchor_ok
+                 FROM srcs GROUP BY conv_id) s
+           JOIN (SELECT conv_id, count(*) AS nh FROM holds GROUP BY conv_id) hh
+             ON s.conv_id = hh.conv_id),
+         conn AS (
+           SELECT conv_id,
+             round(CAST((ns + nh) * 1.0 / (ns + nh + 2) AS DECIMAL(18,8)), 4) AS connectivity,
+             round(CAST((nsrc_anchor_ok + nh + 2) * 1.0 / (ns + nh + 2) AS DECIMAL(18,8)), 4) AS anchor_quality,
+             (ns + nh) * 1.0 / (ns + nh + 2) AS connectivity_raw,
+             (nsrc_anchor_ok + nh + 2) * 1.0 / (ns + nh + 2) AS anchor_raw
+           FROM counts),
+         res AS (
+           SELECT conv_id,
+             (max(CASE WHEN h = 0 THEN 1 ELSE 0 END) + max(CASE WHEN h = 1 THEN 1 ELSE 0 END)) / 2.0 AS issue_resolution_raw
+           FROM o GROUP BY conv_id),
+         vr AS (
+           SELECT conv_id, count(*) FILTER (WHERE h <> 2) * 1.0 / count(*) AS validity_raw
+           FROM o GROUP BY conv_id)
+         SELECT v.conv_id,
+           v.edge_validity,
+           c.connectivity,
+           round(CAST(r.issue_resolution_raw AS DECIMAL(18,8)), 4) AS issue_resolution,
+           c.anchor_quality,
+           round(CAST(1.0 + vr.validity_raw * 3.0 + c.connectivity_raw * 3.0
+                 + r.issue_resolution_raw * 2.0 + c.anchor_raw * 1.0 AS DECIMAL(18,8)), 2) AS quality_score
+         FROM validity v
+         JOIN conn c ON v.conv_id = c.conv_id
+         JOIN res r ON v.conv_id = r.conv_id
+         JOIN vr ON v.conv_id = vr.conv_id
+         ORDER BY v.conv_id""",
+
     "q46_holding_support" ->
       // get_holding_support (schema_v2_1.py:807-836): grounding_concepts =
       // sources of ALL grounds in-edges (no type filter), supporting_facts =
