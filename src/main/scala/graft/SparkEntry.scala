@@ -659,6 +659,43 @@ object SparkEntry {
       graft.kg.query.GraphQuality.score(nodes, edges).orderBy(col("conv_id"))
     }),
 
+    // --- T9 key-phrase parsing over planted raw strings: quoted phrases
+    //     preferred, else comma split with quote stripping ---
+    "q50_keyphrase_parse" -> ((s, dir) => {
+      val raws = Seq(
+        "\"audi alteram partem\", \"natural justice\"",
+        "fair hearing, notice, \"reasoned order\"",
+        "alpha, beta , gamma",
+        "'single-quoted', plain",
+        "")
+      val parseU = udf((r: String) =>
+        graft.kg.ontology.Ontology.parseKeyPhrases(r).mkString("|"))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(raws.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("raw"))
+        .select(col("doc_id"), col("raw"), parseU(col("raw")).as("phrases"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- V11 requires-field normalization over planted raw strings:
+    //     [AND]/[OR] markers, numbered lists, newline/semicolon split ---
+    "q51_requires_parse" -> ((s, dir) => {
+      val raws = Seq(
+        "[OR] notice; hearing; reasoned order",
+        "[AND] fair procedure\nopportunity",
+        "1. first req 2) second req 3. third",
+        "plain requirement",
+        "")
+      val logicU = udf((r: String) => graft.kg.ontology.Ontology.normalizeRequires(r)._1)
+      val itemsU = udf((r: String) => graft.kg.ontology.Ontology.normalizeRequires(r)._2.mkString("|"))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(raws.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          logicU(col("raw")).as("logic"), itemsU(col("raw")).as("items"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -925,6 +962,61 @@ object SparkEntry {
                  len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
          FROM t a JOIN t b ON a.doc_id + 1 = b.doc_id
          ORDER BY a""",
+    "q51_requires_parse" ->
+      // normalize_requires (extractor.py:1312-1379): [AND]/[OR] marker
+      // strip (first match, case-insensitive), numbered-list split when any
+      // line starts with "N." / "N)", else newline/semicolon split
+      """WITH planted AS (
+           SELECT doc_id,
+             (['[OR] notice; hearing; reasoned order',
+               '[AND] fair procedure' || chr(10) || 'opportunity',
+               '1. first req 2) second req 3. third',
+               'plain requirement',
+               ''])[CAST(doc_id % 5 AS INT) + 1] AS raw
+           FROM documents),
+         t AS (
+           SELECT doc_id, raw,
+             CASE WHEN upper(trim(raw)) LIKE '[OR%' THEN 'or' ELSE 'and' END AS logic,
+             regexp_replace(regexp_replace(raw,
+               '(?i)^\s*\[OR\]?\s*', ''), '(?i)^\s*\[AND\]?\s*', '') AS txt
+           FROM planted)
+         SELECT doc_id, raw, logic,
+           CASE WHEN trim(raw) = '' THEN ''
+                ELSE array_to_string(list_filter(list_transform(
+                  CASE WHEN regexp_matches(txt, '(?m)^\s*[0-9]+[.)]\s*')
+                       THEN string_split_regex(txt, '[0-9]+[.)]\s*')
+                       ELSE string_split_regex(txt, '[\n;]+') END,
+                  x -> trim(x)), x -> x <> ''), '|')
+           END AS items
+         FROM t ORDER BY doc_id""",
+
+    "q50_keyphrase_parse" ->
+      // parse_key_phrases (extractor.py:1091-1107): prefer non-greedy
+      // quoted captures; else comma split with one-layer quote stripping
+      """WITH planted AS (
+           SELECT doc_id,
+             (['"audi alteram partem", "natural justice"',
+               'fair hearing, notice, "reasoned order"',
+               'alpha, beta , gamma',
+               CAST(chr(39) || 'single-quoted' || chr(39) || ', plain' AS VARCHAR),
+               ''])[CAST(doc_id % 5 AS INT) + 1] AS raw
+           FROM documents),
+         q AS (
+           SELECT doc_id, raw,
+             list_filter(list_transform(regexp_extract_all(raw, '"(.*?)"', 1), x -> trim(x)), x -> x <> '') AS quoted
+           FROM planted)
+         SELECT doc_id, raw,
+           CASE
+             WHEN raw = '' THEN ''
+             WHEN len(quoted) > 0 THEN array_to_string(quoted, '|')
+             ELSE array_to_string(
+               list_filter(
+                 list_transform(string_split(raw, ','),
+                   x -> trim(trim(trim(trim(x), '"'), chr(39)))),
+                 x -> x <> ''), '|')
+           END AS phrases
+         FROM q ORDER BY doc_id""",
+
     "q49_graph_quality" ->
       // the four per-conversation shares + weighted 1-10 score
       // (evaluate_graphs.py:90-305): validity = share of edges whose
