@@ -1033,7 +1033,7 @@ object SparkEntry {
            FROM orders),
          validity AS (
            SELECT conv_id,
-             round(CAST(count(*) FILTER (WHERE h <> 2) * 1.0 / count(*) AS DECIMAL(18,8)), 4) AS edge_validity
+             floor(count(*) FILTER (WHERE h <> 2) * 1.0 / count(*) * 10000.0 + 0.5) / 10000.0 AS edge_validity
            FROM o GROUP BY conv_id),
          srcs AS (SELECT DISTINCT conv_id, t, d FROM o),
          holds AS (SELECT DISTINCT conv_id, h FROM o),
@@ -1047,8 +1047,8 @@ object SparkEntry {
              ON s.conv_id = hh.conv_id),
          conn AS (
            SELECT conv_id,
-             round(CAST((ns + nh) * 1.0 / (ns + nh + 2) AS DECIMAL(18,8)), 4) AS connectivity,
-             round(CAST((nsrc_anchor_ok + nh + 2) * 1.0 / (ns + nh + 2) AS DECIMAL(18,8)), 4) AS anchor_quality,
+             floor((ns + nh) * 1.0 / (ns + nh + 2) * 10000.0 + 0.5) / 10000.0 AS connectivity,
+             floor((nsrc_anchor_ok + nh + 2) * 1.0 / (ns + nh + 2) * 10000.0 + 0.5) / 10000.0 AS anchor_quality,
              (ns + nh) * 1.0 / (ns + nh + 2) AS connectivity_raw,
              (nsrc_anchor_ok + nh + 2) * 1.0 / (ns + nh + 2) AS anchor_raw
            FROM counts),
@@ -1062,10 +1062,10 @@ object SparkEntry {
          SELECT v.conv_id,
            v.edge_validity,
            c.connectivity,
-           round(CAST(r.issue_resolution_raw AS DECIMAL(18,8)), 4) AS issue_resolution,
+           floor(r.issue_resolution_raw * 10000.0 + 0.5) / 10000.0 AS issue_resolution,
            c.anchor_quality,
-           round(CAST(1.0 + vr.validity_raw * 3.0 + c.connectivity_raw * 3.0
-                 + r.issue_resolution_raw * 2.0 + c.anchor_raw * 1.0 AS DECIMAL(18,8)), 2) AS quality_score
+           floor((1.0 + vr.validity_raw * 3.0 + c.connectivity_raw * 3.0
+                 + r.issue_resolution_raw * 2.0 + c.anchor_raw * 1.0) * 100.0 + 0.5) / 100.0 AS quality_score
          FROM validity v
          JOIN conn c ON v.conv_id = c.conv_id
          JOIN res r ON v.conv_id = r.conv_id

@@ -58,15 +58,20 @@ object GraphQuality {
       .join(resolution, Seq("conv_id"), "full_outer")
       .join(anchors, Seq("conv_id"), "full_outer")
       .na.fill(0.0)
-      // weighted 1-10: validity 3, connectivity 3, resolution 2, anchors 2
-      .withColumn("quality_score", round(lit(1.0) +
+      // weighted 1-10: validity 3, connectivity 3, resolution 2, anchors 1.
+      // Rounding is the explicit floor(x·10^k + 0.5)/10^k form: pure IEEE
+      // double arithmetic that any engine reproduces bit-exactly, unlike
+      // round(), whose half-boundary behavior depends on the engine's
+      // decimal-conversion strategy (Spark rounds the shortest decimal
+      // repr, DuckDB the binary value — they disagree on x.xx5 scores).
+      .withColumn("quality_score", floor((lit(1.0) +
         col("edge_validity") * 3.0 + col("connectivity") * 3.0 +
-        col("issue_resolution") * 2.0 + col("anchor_quality") * 1.0, 2))
+        col("issue_resolution") * 2.0 + col("anchor_quality") * 1.0) * 100.0 + 0.5) / 100.0)
       .select(col("conv_id"),
-        round(col("edge_validity"), 4).as("edge_validity"),
-        round(col("connectivity"), 4).as("connectivity"),
-        round(col("issue_resolution"), 4).as("issue_resolution"),
-        round(col("anchor_quality"), 4).as("anchor_quality"),
+        (floor(col("edge_validity") * 10000.0 + 0.5) / 10000.0).as("edge_validity"),
+        (floor(col("connectivity") * 10000.0 + 0.5) / 10000.0).as("connectivity"),
+        (floor(col("issue_resolution") * 10000.0 + 0.5) / 10000.0).as("issue_resolution"),
+        (floor(col("anchor_quality") * 10000.0 + 0.5) / 10000.0).as("anchor_quality"),
         col("quality_score"))
   }
 }
