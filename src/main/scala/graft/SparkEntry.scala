@@ -34,16 +34,24 @@ object SparkEntry {
     * scripts read the files). Re-running the extraction per query would pay
     * ~12 redundant extraction jobs in a Verify/Bench sweep, so the ConvGraph
     * dataset is extracted ONCE per (session, dir) and persisted; every kg_*
-    * query is a projection of the cached corpus. Keyed by session identity so
-    * a stopped session's stale plans are never reused. */
+    * query is a projection of the cached corpus. Keyed on the session OBJECT
+    * (IdentityHashMap — identityHashCode alone can collide across sessions),
+    * with stopped sessions evicted on every lookup so a long-lived Bench JVM
+    * that cycles many sessions neither reuses stale persisted plans nor
+    * accumulates dead entries. */
   private val kgMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph]]()
+    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph]]]()
 
   private def kgGraphs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph] =
-    kgMemo.computeIfAbsent(
-      System.identityHashCode(s) + ":" + dir,
-      _ => KgPipeline.graphs(s, transcripts(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    kgMemo.synchronized {
+      val it = kgMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var m = kgMemo.get(s)
+      if (m == null) { m = scala.collection.mutable.Map.empty; kgMemo.put(s, m) }
+      m.getOrElseUpdate(dir,
+        KgPipeline.graphs(s, transcripts(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   private def kgNodes(s: SparkSession, dir: String): DataFrame =
     KgPipeline.nodes(kgGraphs(s, dir)).toDF()

@@ -105,6 +105,19 @@ object Citations {
   private val InAnchorMasks = Array(1 << 0, (1 << 1) | (1 << 2), 1 << 3, 1 << 4, 1 << 5)
   private val OfMask = 1 << 6
 
+  /** Per-char lowering with GUARANTEED 1:1 offsets. String.toLowerCase can
+    * expand length (U+0130 İ → "i̇"), which would shift anchor offsets
+    * applied as Matcher.region bounds on the original text — missed
+    * citations or an out-of-bounds region. Character.toLowerCase never
+    * expands, and the anchor literals are ASCII, so anchors land identically. */
+  private def lowerSameLength(text: String): String = {
+    val n = text.length
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < n) { out(i) = Character.toLowerCase(text.charAt(i)); i += 1 }
+    new String(out)
+  }
+
   /** Merged anchor windows (start, end, patternMask) for the Indian grammar
     * over the lowered text; each window carries the union of the pattern
     * bits whose anchors fell inside it, so only those grammars scan it. */
@@ -179,7 +192,7 @@ object Citations {
     val j = jurisdiction.toLowerCase.trim
     if (j == "echr") extractFull(text, pats)
     else if (j == "in" || j == "india") {
-      val low = text.toLowerCase(java.util.Locale.ROOT)
+      val low = lowerSameLength(text)
       val raw = ArrayBuffer.empty[CitationHit]
       for ((ws, we, mask) <- indianAnchorWindows(low))
         extractRegion(text, ws, we, pats, mask, raw)
