@@ -186,8 +186,32 @@ object Bench {
     val eff2to8 = (lowTps / base2Tps) / (lowCores.toDouble / 2)
     val eff8to32 = (highTps / lowTps) / (highCores.toDouble / lowCores)
 
+    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+
     // --- phase 1c: full pipeline incl. materialize, at local[high] ----------
-    val (matSec, matTriples) = materializeRun(highCores, transcriptsPath)
+    // min-of-2: materialize was the one single-shot number left, so a VM
+    // stall landing on it was unrecoverable from the artifact (round-4
+    // driver run needed a judge re-run to adjudicate a 142 s outlier)
+    val matRuns = Vector.fill(2)(materializeRun(highCores, transcriptsPath))
+    val matSec = matRuns.map(_._1).min
+    val matTriples = matRuns.head._2
+    val kg =
+      s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
+        s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)}},""" +
+        s""""low":{"cores":$lowCores,"sec":${f(low.min)},"triples_per_sec":${f(lowTps)}},""" +
+        s""""high":{"cores":$highCores,"sec":${f(high.min)},"triples_per_sec":${f(highTps)}},""" +
+        s""""scaling_efficiency":${f(eff2to8)},""" +
+        s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
+        s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
+        s""""pre_low":${low.json},"pre_high":${high.json},""" +
+        s""""shuffled_low":${shufLow.map(_.json).getOrElse("null")},""" +
+        s""""shuffled_high":${shufHigh.map(_.json).getOrElse("null")},""" +
+        s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,""" +
+        s""""triples_per_sec":${f(matTriples / matSec)},"reps":[${matRuns.map(r => f(r._1)).mkString(",")}]}}"""
+    // phase record: the driver keeps only the output tail, so each phase
+    // prints its full JSON as it completes — a truncated capture still
+    // carries every number somewhere in the artifact
+    println(s"""{"phase":"kg","sf":"$sfDir","kg":$kg}""")
 
     // --- phase 2: headline operator queries at local[high], min-of-qReps ----
     // The kg_* family shares SparkEntry's extract-once memo; its one-time
@@ -200,36 +224,72 @@ object Bench {
       SparkEntry.queries("kg_triples")(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toList.sortBy(_._1).map { case (name, fn) =>
-      var best = Double.MaxValue
+    // q25 split (same materialize-once design): the one-shot tfidfScores
+    // cost is ~all one-time 1-2-gram index build; production builds the
+    // index once and serves many query batches. Build once here (timed as
+    // tfidf_index_build — eager localCheckpoints put the whole build inside
+    // the span), then q25 reps measure steady-state serve against it.
+    // Numbers are identical by construction (tfidfScores = queryTfidfIndex ∘
+    // buildTfidfIndex), so the oracle is untouched.
+    import org.apache.spark.sql.functions.col
+    val tfidfIdx = {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").as("conv_id"), col("text").as("doc_text"))
+      val t0 = System.nanoTime()
+      val idx = graft.kg.query.Retrieval.buildTfidfIndex(spark, docs)
+      ((System.nanoTime() - t0) / 1e9, idx)
+    }
+    val tfidfQueries = {
+      import spark.implicits._
+      Seq((0, "spark join merge"), (1, "window filter scan")).toDF("query_id", "query_text")
+    }
+    // per-query: every rep and every error ship in the artifact; failed reps
+    // are EXCLUDED from minima instead of masquerading as fast successes
+    val detail = SparkEntry.queries.toList.sortBy(_._1).map { case (name, fn) =>
+      val reps = Vector.newBuilder[Double]
+      var err: Option[String] = None
       for (_ <- 1 to qReps) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        try {
+          if (name == "q25_tfidf_topk")
+            graft.kg.query.Retrieval.topK(
+              graft.kg.query.Retrieval.queryTfidfIndex(tfidfIdx._2, tfidfQueries),
+              10, docCol = "doc_id").count()
+          else fn(spark, sfDir).count()
+          reps += (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            err = Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("[\"\\\\\\r\\n\\t]", " ").take(160))
+        }
       }
-      name -> best
+      (name, reps.result(), err)
     }
     spark.stop()
 
-    def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
-    val qs = (results :+ ("kg_corpus_extract" -> extractOnceSec))
+    val ok = detail.collect { case (n, reps, _) if reps.nonEmpty => n -> reps.min }
+    val qs = (ok ++ List(
+        "kg_corpus_extract" -> extractOnceSec, "tfidf_index_build" -> tfidfIdx._1))
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + extractOnceSec +
+    val qDetail = detail.map { case (n, reps, err) =>
+      "\"" + n + "\":{\"min\":" + reps.minOption.map(f).getOrElse("null") +
+        ",\"reps\":[" + reps.map(f).mkString(",") + "]" +
+        ",\"err\":" + err.map("\"" + _ + "\"").getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"phase":"queries","queries":$qs,"query_detail":$qDetail}""")
+
+    val total = ok.map(_._2).sum + extractOnceSec + tfidfIdx._1 +
       base2.min + low.min + high.min + matSec
-    val kg =
-      s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
-        s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)}},""" +
-        s""""low":{"cores":$lowCores,"sec":${f(low.min)},"triples_per_sec":${f(lowTps)}},""" +
-        s""""high":{"cores":$highCores,"sec":${f(high.min)},"triples_per_sec":${f(highTps)}},""" +
-        s""""scaling_efficiency":${f(eff2to8)},""" +
-        s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
-        s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
-        s""""pre_low":${low.json},"pre_high":${high.json},""" +
-        s""""shuffled_low":${shufLow.map(_.json).getOrElse("null")},""" +
-        s""""shuffled_high":${shufHigh.map(_.json).getOrElse("null")},""" +
-        s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,"triples_per_sec":${f(matTriples / matSec)}}}"""
-    println(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","kg":$kg}""")
+    val line =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
+        s""""query_detail":$qDetail,"sf":"$sfDir","kg":$kg}"""
+    // full record also lands on disk so a truncated stdout capture is
+    // recoverable without a re-run
+    try {
+      val w = new java.io.PrintWriter("/root/repo/BENCH_LAST.json")
+      try w.println(line) finally w.close()
+    } catch { case _: Throwable => }
+    println(line)
   }
 }

@@ -704,6 +704,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- multimodal image decode: REAL ImageIO decode of planted PNGs whose
+    //     pixels follow pure arithmetic (gray = (id*31 + x*7 + y*13) % 256
+    //     over id-derived dims). PNG is lossless, so the decoded pooled 4×4
+    //     mean-luma grid equals the generating formula and a SQL oracle
+    //     mirrors it without touching image bytes ---
+    "q52_image_decode" -> ((s, dir) => {
+      val decU = udf((id: Long) =>
+        graft.data.Multimodal.imageGrid(graft.data.Multimodal.plantedImage(id)).get)
+      pq(s, dir, "documents")
+        .select(col("doc_id"), decU(col("doc_id")).as("dec"))
+        .select(col("doc_id"),
+          col("dec._1").cast("long").as("width"),
+          col("dec._2").cast("long").as("height"),
+          posexplode(col("dec._3")).as(Seq("block", "fraw")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("block").cast("long").as("block"),
+          // engine-portable 6-dp rounding (see q49): floor(x*10^k + 0.5)/10^k
+          (floor(col("fraw") * 1000000.0 + 0.5) / 1000000.0).as("f"))
+        .orderBy(col("doc_id"), col("block"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1024,6 +1045,30 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q52_image_decode" ->
+      // mirrors Multimodal.imageGrid over plantedImage: the planted pixels
+      // are pure arithmetic (gray = (id*31 + x*7 + y*13) % 256, dims
+      // 8+(id*3%17) × 8+(id*5%13)); PNG encode→decode is lossless, so the
+      // SQL needs no image bytes — block d = (y*4//h)*4 + x*4//w, value =
+      // sum(r+g+b) / (pixels*765) with integer sums (exact in doubles in
+      // any order), then the engine-portable floor rounding
+      """WITH dims AS (
+           SELECT doc_id AS id,
+             8 + (doc_id*3 % 17) AS w, 8 + (doc_id*5 % 13) AS h
+           FROM documents),
+         ys AS (SELECT id, w, h, unnest(generate_series(0, h-1)) AS y FROM dims),
+         px AS (SELECT id, w, h, y, unnest(generate_series(0, w-1)) AS x FROM ys),
+         blk AS (
+           SELECT id, w, h,
+             ((y*4)//h)*4 + (x*4)//w AS block,
+             (id*31 + x*7 + y*13) % 256 AS g
+           FROM px)
+         SELECT id AS doc_id, w AS width, h AS height,
+           CAST(block AS BIGINT) AS block,
+           floor((sum(3*g) * 1.0 / (count(*) * 765.0)) * 1000000.0 + 0.5) / 1000000.0 AS f
+         FROM blk GROUP BY 1, 2, 3, 4
+         ORDER BY doc_id, block""",
 
     "q49_graph_quality" ->
       // the four per-conversation shares + weighted 1-10 score

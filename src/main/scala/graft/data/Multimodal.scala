@@ -7,14 +7,23 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, processed in batch-shaped
   * per-partition transforms.
   *
-  * The Spark-side contract (schema, partitioning, batch shape, typed output)
-  * is real and tested; the codec step is STUBBED behind `DecoderStub`
-  * because no image/audio libraries exist in this container — a real decoder
-  * (e.g. javacv / TwelveMonkeys ImageIO) drops into `decode` without
-  * touching any of the plumbing. At scale the frames/features output is
+  * IMAGES decode for REAL via `javax.imageio.ImageIO` (ships in the base
+  * JDK: PNG/JPEG/BMP/GIF) — exact dimensions plus a 4×4 pooled mean-luma
+  * feature grid. Audio and video stay STUBBED behind `DecoderStub` (those
+  * codecs genuinely do not exist in this container; a real decoder, e.g.
+  * javacv, drops into the same seam without touching the plumbing), and an
+  * image payload ImageIO cannot decode falls back to the stub's
+  * deterministic content-hash features rather than dying mid-pipeline — at
+  * 100 TB corrupt payloads are routine; a production variant would also
+  * route them to a quarantine sink. The frames/features output is
   * partitioned by `pmod(hash(media_id), B)` like every other table.
   */
 object Multimodal {
+
+  // ImageIO's default ImageInputStream spills to temp FILES even for
+  // in-memory byte arrays — at executor fan-out that is disk churn for
+  // nothing; keep decode fully in memory
+  javax.imageio.ImageIO.setUseCache(false)
 
   final case class MediaRow(
       media_id: Long,
@@ -32,11 +41,78 @@ object Multimodal {
       duration_ms: Long,
       feature: Array[Float])  // pooled feature vector (dim 16 in the stub)
 
-  /** ??? seam — deterministic fake decode so the pipeline is testable
-    * end-to-end without codecs. Real implementation: decode `payload` with a
-    * codec library, resize / frame-sample, pool features. The fake derives
-    * every output value from a hash of the payload, so it is stable across
-    * runs and partitionings (what the tests assert). */
+  /** Real JDK image decode: payload → exact (width, height) plus a 4×4
+    * mean-luma grid as doubles (block d = (y*4/h)*4 + x*4/w, luma =
+    * (r+g+b)/3; the grid value is sum(r+g+b) / (pixels*765), kept as a
+    * single integer-sum + one division so it is bit-reproducible in any
+    * engine — integer sums are exact in doubles regardless of order).
+    * Returns None when ImageIO cannot decode the payload. */
+  def imageGrid(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Long](16)
+        val counts = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val by4 = (y * 4 / h) * 4
+          var x = 0
+          while (x < w) {
+            val d = by4 + x * 4 / w
+            val rgb = img.getRGB(x, y)
+            sums(d) += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            counts(d) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val grid = new Array[Double](16)
+        var d = 0
+        while (d < 16) {
+          grid(d) = if (counts(d) > 0) sums(d) / (counts(d) * 765.0) else 0.0
+          d += 1
+        }
+        Some((w, h, grid))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Deterministic planted image for tests/oracles: gray(x, y) =
+    * (id*31 + x*7 + y*13) % 256 over id-derived dims, encoded with the
+    * given lossless ImageIO format (png/bmp/gif — gray has ≤256 shades, so
+    * even GIF's palette is exact). Because encode→decode is lossless, the
+    * decoded `imageGrid` equals pure arithmetic over the formula — which a
+    * SQL oracle can mirror without touching image bytes. */
+  def plantedImage(id: Long, format: String = "png"): Array[Byte] = {
+    val w = (8 + id * 3 % 17).toInt
+    val h = (8 + id * 5 % 13).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Codec seam for the formats WITHOUT an in-container codec (audio,
+    * video) and the fallback for undecodable image payloads — deterministic
+    * fake decode so those rows stay testable end-to-end. A real decoder
+    * library drops into `decodeFeatures`' routing without touching the
+    * plumbing. The fake derives every output value from a hash of the
+    * payload, so it is stable across runs and partitionings (what the tests
+    * assert). */
   object DecoderStub {
     def decode(row: MediaRow): MediaFeatures = {
       var h = 0xcbf29ce484222325L
@@ -79,13 +155,24 @@ object Multimodal {
     }
   }
 
-  /** Batch decode: one pass per partition, codec initialized once per task
-    * (the expensive part for a real decoder), rows streamed through. */
+  /** Batch decode: one pass per partition, codec state initialized once per
+    * task, rows streamed through. Images go through the REAL ImageIO path
+    * (width/height + pooled 4×4 luma grid, n_frames = 1); audio/video and
+    * undecodable image payloads take the stub seam. */
   def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     implicit val enc = org.apache.spark.sql.Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
-      // real impl: val codec = Codec.acquire() here, once per batch/partition
-      it.map(DecoderStub.decode)
+      // real audio/video impl: val codec = Codec.acquire() here, once per task
+      it.map { row =>
+        if (row.kind == "image") {
+          imageGrid(row.payload) match {
+            case Some((w, h, grid)) =>
+              MediaFeatures(row.media_id, row.kind, w, h, n_frames = 1,
+                duration_ms = 0L, feature = grid.map(_.toFloat))
+            case None => DecoderStub.decode(row)
+          }
+        } else DecoderStub.decode(row)
+      }
     }
   }
 

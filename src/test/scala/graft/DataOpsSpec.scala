@@ -216,4 +216,45 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = Multimodal.kindStats(feats)
     assert(stats.count() == 3)
   }
+
+  test("multimodal: ImageIO decodes planted images exactly, across formats") {
+    // exact-feature oracle computed straight from the generating formula
+    def expected(id: Long): (Int, Int, Array[Double]) = {
+      val w = (8 + id * 3 % 17).toInt
+      val h = (8 + id * 5 % 13).toInt
+      val sums = new Array[Long](16)
+      val counts = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w) {
+        val d = (y * 4 / h) * 4 + x * 4 / w
+        sums(d) += 3 * ((id * 31 + x * 7 + y * 13) % 256)
+        counts(d) += 1
+      }
+      (w, h, Array.tabulate(16)(d => sums(d) / (counts(d) * 765.0)))
+    }
+    // several sizes (dims cycle with id) × the lossless JDK formats
+    for (id <- Seq(0L, 1L, 7L, 16L, 123L, 4999L); fmt <- Seq("png", "bmp", "gif")) {
+      val Some((w, h, grid)) = Multimodal.imageGrid(Multimodal.plantedImage(id, fmt))
+      val (ew, eh, eg) = expected(id)
+      assert(w == ew && h == eh, s"dims for id=$id fmt=$fmt: ${(w, h)} vs ${(ew, eh)}")
+      assert(grid.toSeq == eg.toSeq, s"grid for id=$id fmt=$fmt")
+    }
+    // undecodable bytes → None from the real path
+    assert(Multimodal.imageGrid(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    // ...and decodeFeatures falls back to the stub for them (schema intact)
+  }
+
+  test("multimodal: decodeFeatures routes real images through ImageIO") {
+    import spark.implicits._
+    val rows = (0L until 20L).map(i =>
+      Multimodal.MediaRow(i, "image", Multimodal.plantedImage(i), "planted/pngs",
+        Multimodal.plantedImage(i).length))
+    val feats = Multimodal.decodeFeatures(spark.createDataset(rows))
+      .collect().sortBy(_.media_id)
+    for (f <- feats) {
+      assert(f.width == (8 + f.media_id * 3 % 17).toInt, f.toString)
+      assert(f.height == (8 + f.media_id * 5 % 13).toInt, f.toString)
+      assert(f.n_frames == 1 && f.duration_ms == 0L)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+  }
 }
