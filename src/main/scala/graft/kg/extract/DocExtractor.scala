@@ -317,14 +317,28 @@ object DocExtractor {
     argSents.zipWithIndex.foreach { case (i, n) =>
       val seg = doc.sentences(i)
       val low = sentLower(i)
-      val cueHit = ActorCues.iterator
-        .map { case (cue, raw) => (low.indexOf(cue), -cue.length, raw) }
-        .filter(_._1 >= 0)
-        .minByOption(h => (h._1, h._2, h._3))
-      val actor = cueHit match {
-        case Some((_, _, raw)) => graft.kg.rules.Actors.coerceActor(raw)
-        case None => "third_party"
+      // manual argmin over (pos, -cueLen, raw): the iterator/tuple chain
+      // allocated three objects per cue per argument sentence
+      var bestPos = Int.MaxValue
+      var bestNegLen = 0
+      var bestRaw: String = null
+      var cs = ActorCues
+      while (cs.nonEmpty) {
+        val (cue, raw) = cs.head
+        val p = low.indexOf(cue)
+        if (p >= 0) {
+          val nl = -cue.length
+          if (bestRaw == null || p < bestPos ||
+              (p == bestPos && (nl < bestNegLen ||
+                (nl == bestNegLen && raw < bestRaw)))) {
+            bestPos = p; bestNegLen = nl; bestRaw = raw
+          }
+        }
+        cs = cs.tail
       }
+      val actor =
+        if (bestRaw != null) graft.kg.rules.Actors.coerceActor(bestRaw)
+        else "third_party"
       val scheme = graft.kg.rules.Actors.coerceScheme(
         graft.kg.rules.Actors.inferScheme(low))
       nodes += blankNode(s"a${n + 1}", "argument", seg.text, anchorFor(doc, seg), "high", "rule")
@@ -367,7 +381,7 @@ object DocExtractor {
         val combined = (Option(n.text).getOrElse("") + " " +
           Option(n.anchor).map(_.surfaceText).getOrElse(""))
         // \b\w{4,}\b equivalent via the shared scanner (extractor.py:4601)
-        Normalize.tokenize(combined).iterator.filter(_.length >= 4).toSet
+        Normalize.tokenSet(combined, 4)
       })
       holdings =
         if (issues.size == 1) holdings.map(_.copy(resolvesIssue = issues.head.id))
@@ -377,7 +391,7 @@ object DocExtractor {
           else {
             // argmax overlap; stable tie-break on issue order (reference
             // iterates in extraction order and keeps strict '>')
-            val best = issues.maxBy(i => (kwBilingual(i).intersect(hw).size, -issues.indexOf(i)))
+            val best = issues.maxBy(i => (Normalize.overlap(kwBilingual(i), hw), -issues.indexOf(i)))
             h.copy(resolvesIssue = best.id)
           }
         }
@@ -442,7 +456,7 @@ object DocExtractor {
         case Some(cdef) => Ontology.conceptMatchScoreFast(mt, cdef, turkish = turkish)
         case None =>
           val pseudoKw = Normalize.keywordSet(cid + " " + clusters(cid).label)
-          mt.keywords.intersect(pseudoKw).size
+          Normalize.overlap(mt.keywords, pseudoKw)
       }
 
     def argmaxCluster(text: String, candidates: Iterable[String], minScore: Int): Option[String] = {
@@ -510,7 +524,7 @@ object DocExtractor {
         var bestScore = 0
         for (fid <- cl.members("fact")) {
           val f = factById(fid)
-          var s = reqKw.intersect(mtOf(f.text).keywords).size
+          var s = Normalize.overlap(reqKw, mtOf(f.text).keywords)
           if (Normalize.looksNegative(f.text)) s = math.max(0, s - 2)
           if (s > bestScore) { bestScore = s; bestFact = fid }
         }
@@ -625,7 +639,7 @@ object DocExtractor {
       val ratioHoldings = holdings.filter(_.isRatio)
       if (ratioHoldings.nonEmpty) {
         var scored = ratioHoldings.map(h =>
-          (Normalize.keywordSet(h.text).intersect(outcomeKw).size, h))
+          (Normalize.overlap(Normalize.keywordSet(h.text), outcomeKw), h))
         if (scored.forall(_._1 == 0)) {
           // fall back to latest-by-anchor holding (extractor.py:4160-4168)
           val bestH = scored.map(_._2).maxBy(h => (h.anchor.startChar, h.id))

@@ -19,7 +19,13 @@ object TranscriptGen {
   /** Stable 64-bit FNV-1a hash — the only "randomness" source. */
   private def fnv(parts: String*): Long = {
     var h = 0xcbf29ce484222325L
-    for (p <- parts; c <- p) { h ^= c.toLong; h *= 0x100000001b3L }
+    var pi = 0
+    while (pi < parts.length) {
+      val p = parts(pi)
+      var i = 0
+      while (i < p.length) { h ^= p.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+      pi += 1
+    }
     h & Long.MaxValue
   }
   private def pick[A](xs: IndexedSeq[A], convId: String, slot: String): A =

@@ -349,8 +349,8 @@ object Ontology {
     val pats = if (turkish) c.typicalFactPatternsTurkish else c.typicalFactPatternsLower
     if (pats.exists(low.contains)) score += 3
 
-    score += math.min(4, mt.keywords.intersect(c.conceptKeywords).size)
-    score += math.min(4, mt.keywords.intersect(c.requiresKeywords).size)
+    score += Normalize.overlap(mt.keywords, c.conceptKeywords, cap = 4)
+    score += Normalize.overlap(mt.keywords, c.requiresKeywords, cap = 4)
     score
   }
 
@@ -373,7 +373,7 @@ object Ontology {
     val nodeKw = Normalize.keywordSet(cid + " " + Option(nodeText).getOrElse(""))
     if (nodeKw.isEmpty) return None
     val scored = concepts.toList.map { case (id, c) =>
-      (id, nodeKw.intersect(c.idAndTextKeywords).size)
+      (id, Normalize.overlap(nodeKw, c.idAndTextKeywords))
     }.filter(_._2 >= 2)
     if (scored.isEmpty) None
     else Some(scored.minBy { case (id, s) => (-s, id) }._1)

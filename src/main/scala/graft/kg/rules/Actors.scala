@@ -51,11 +51,7 @@ object Actors {
     "third_party" -> "third_party", "witness" -> "third_party",
     "expert" -> "third_party")
 
-  private def canonKey(s: String): String = {
-    var a = s.trim.toLowerCase.replace("-", "_").replace(" ", "_")
-    a = a.replaceAll("_+", "_")
-    a
-  }
+  private def canonKey(s: String): String = Relations.underscoreFold(s)
 
   /** normalize_actor_type (extractor.py:431-444): lower/underscore collapse
     * then alias lookup; null/empty → null. */

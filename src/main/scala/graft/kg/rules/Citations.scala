@@ -105,45 +105,63 @@ object Citations {
   private val InAnchorMasks = Array(1 << 0, (1 << 1) | (1 << 2), 1 << 3, 1 << 4, 1 << 5)
   private val OfMask = 1 << 6
 
-  /** Per-char lowering with GUARANTEED 1:1 offsets. String.toLowerCase can
-    * expand length (U+0130 İ → "i̇"), which would shift anchor offsets
-    * applied as Matcher.region bounds on the original text — missed
-    * citations or an out-of-bounds region. Character.toLowerCase never
-    * expands, and the anchor literals are ASCII, so anchors land identically. */
-  private def lowerSameLength(text: String): String = {
+  /** Case-insensitive indexOf of a LOWERCASE ASCII literal, scanning the
+    * ORIGINAL text — offsets are trivially 1:1 (String.toLowerCase could
+    * expand length, e.g. U+0130 İ → "i̇", shifting Matcher.region bounds),
+    * and no lowered copy of the conversation text is allocated (the copy was
+    * a profiled allocation hot spot). `c | 0x20` folds only A-Z→a-z for the
+    * chars we compare against (ASCII letters/digits). */
+  private def indexOfIgnoreCase(text: String, lit: String, from: Int): Int = {
     val n = text.length
-    val out = new Array[Char](n)
-    var i = 0
-    while (i < n) { out(i) = Character.toLowerCase(text.charAt(i)); i += 1 }
-    new String(out)
+    val m = lit.length
+    var i = from
+    while (i + m <= n) {
+      var j = 0
+      while (j < m && {
+        val c = text.charAt(i + j)
+        val f = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        f == lit.charAt(j)
+      }) j += 1
+      if (j == m) return i
+      i += 1
+    }
+    -1
   }
 
-  /** Merged anchor windows (start, end, patternMask) for the Indian grammar
-    * over the lowered text; each window carries the union of the pattern
-    * bits whose anchors fell inside it, so only those grammars scan it. */
-  private def indianAnchorWindows(low: String, radius: Int = 64): List[(Int, Int, Int)] = {
-    val n = low.length
+  /** Merged anchor windows (start, end, patternMask) for the Indian grammar.
+    * Anchor scanning is case-insensitive with offsets 1:1 to the ORIGINAL
+    * text: the common path lowers once and uses the intrinsified
+    * String.indexOf (char-by-char folding profiled 4× slower), guarded by a
+    * length check — for the rare text whose lowercase EXPANDS (U+0130 İ →
+    * "i̇"), offsets would shift, so it falls back to the manual folding
+    * scan on the original string. */
+  private def indianAnchorWindows(text: String, radius: Int = 64): List[(Int, Int, Int)] = {
+    val n = text.length
+    val low = text.toLowerCase(java.util.Locale.ROOT)
+    val sameLen = low.length == n
+    @inline def find(lit: String, from: Int): Int =
+      if (sameLen) low.indexOf(lit, from) else indexOfIgnoreCase(text, lit, from)
     val starts = ArrayBuffer.empty[(Int, Int)] // (anchorPos, mask)
     var a = 0
     while (a < InAnchorLits.length) {
       val lit = InAnchorLits(a)
       val mask = InAnchorMasks(a)
-      var i = low.indexOf(lit)
-      while (i >= 0) { starts += ((i, mask)); i = low.indexOf(lit, i + 1) }
+      var i = find(lit, 0)
+      while (i >= 0) { starts += ((i, mask)); i = find(lit, i + 1) }
       a += 1
     }
     // "\d+\s+of\s+\d{4}": an "of" with a digit before and after across ws
-    var i = low.indexOf("of")
+    var i = find("of", 0)
     while (i >= 0) {
       var b = i - 1
-      while (b >= 0 && Character.isWhitespace(low.charAt(b))) b -= 1
-      if (b >= 0 && b < i && low.charAt(b) >= '0' && low.charAt(b) <= '9') {
+      while (b >= 0 && Character.isWhitespace(text.charAt(b))) b -= 1
+      if (b >= 0 && b < i && text.charAt(b) >= '0' && text.charAt(b) <= '9') {
         var f = i + 2
-        while (f < n && Character.isWhitespace(low.charAt(f))) f += 1
-        if (f < n && f > i + 2 && low.charAt(f) >= '0' && low.charAt(f) <= '9')
+        while (f < n && Character.isWhitespace(text.charAt(f))) f += 1
+        if (f < n && f > i + 2 && text.charAt(f) >= '0' && text.charAt(f) <= '9')
           starts += ((i, OfMask))
       }
-      i = low.indexOf("of", i + 1)
+      i = find("of", i + 1)
     }
     val out = ArrayBuffer.empty[(Int, Int, Int)]
     for ((s, mask) <- starts.sortInPlace()(Ordering.by(_._1))) {
@@ -192,9 +210,8 @@ object Citations {
     val j = jurisdiction.toLowerCase.trim
     if (j == "echr") extractFull(text, pats)
     else if (j == "in" || j == "india") {
-      val low = lowerSameLength(text)
       val raw = ArrayBuffer.empty[CitationHit]
-      for ((ws, we, mask) <- indianAnchorWindows(low))
+      for ((ws, we, mask) <- indianAnchorWindows(text))
         extractRegion(text, ws, we, pats, mask, raw)
       dedupeOverlapping(raw.toList)
     } else {

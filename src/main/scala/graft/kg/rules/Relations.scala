@@ -53,12 +53,47 @@ object Relations {
     "address" -> "addresses",
     "require" -> "requires")
 
-  /** Lower/underscore-collapse + alias lookup (extractor.py:282-291). */
+  /** Lower/underscore-collapse + alias lookup (extractor.py:282-291).
+    * Single-pass for ASCII inputs (the whole relation vocabulary): the
+    * trim + lower + 2×replace + regex-collapse chain allocated five strings
+    * per edge. */
   def normalize(relation: String): String = {
     if (relation == null) return ""
-    var r = relation.trim.toLowerCase.replace("-", "_").replace(" ", "_")
-    r = r.replaceAll("_+", "_")
+    val r = underscoreFold(relation)
     Aliases.getOrElse(r, r)
+  }
+
+  /** trim + lower + [-, space]→_ + collapse "_+", in one pass for ASCII
+    * input (the whole relation/actor vocabulary); shared with Actors. */
+  private[rules] def underscoreFold(sIn: String): String = {
+    var ascii = true
+    var i = 0
+    while (ascii && i < sIn.length) {
+      if (sIn.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) {
+      var s = 0
+      var e = sIn.length
+      while (s < e && sIn.charAt(s) <= ' ') s += 1
+      while (e > s && sIn.charAt(e - 1) <= ' ') e -= 1
+      val buf = new Array[Char](e - s)
+      var n = 0
+      var j = s
+      while (j < e) {
+        val c0 = sIn.charAt(j)
+        val c =
+          if (c0 == '-' || c0 == ' ') '_'
+          else if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar
+          else c0
+        if (c != '_' || n == 0 || buf(n - 1) != '_') { buf(n) = c; n += 1 }
+        j += 1
+      }
+      new String(buf, 0, n)
+    } else {
+      sIn.trim.toLowerCase.replace("-", "_").replace(" ", "_")
+        .replaceAll("_+", "_")
+    }
   }
 
   /** Coerce an arbitrary relation-like string into a valid relation via

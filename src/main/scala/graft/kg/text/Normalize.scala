@@ -59,28 +59,167 @@ object Normalize {
     turkishLower(nfc).replaceAll("\\s+", " ").trim
   }
 
+  /** True iff every char is < 0x80 — the fast-path guard that lets the
+    * scanners below skip the full-string `toLowerCase` copy (ASCII lowering
+    * is context-free, so per-char lowering is bit-identical; non-ASCII text
+    * keeps the locale-correct full-string path). */
+  private def isAscii(text: String): Boolean = {
+    var i = 0
+    val n = text.length
+    while (i < n) { if (text.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
+  @inline private def asciiWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** Lowered [start, end) slice of an all-ASCII string, copying once. */
+  private def lowerSlice(text: String, start: Int, end: Int): String = {
+    val out = new Array[Char](end - start)
+    var i = start
+    while (i < end) {
+      val c = text.charAt(i)
+      out(i - start) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Per-thread token intern. Tokens are drawn from a small recurring
+    * vocabulary, so the scanners return ONE canonical String per distinct
+    * token instead of a fresh substring per occurrence — token Strings were
+    * the extractor's top allocation site, and the canonical copies carry a
+    * cached hashCode for all the keyword-set operations downstream.
+    * Open-addressing over a power-of-two table keyed by the LOWERED char
+    * region; the table doubles until `MaxCap`, after which new tokens fall
+    * back to plain allocation (pathological vocabularies stay bounded). */
+  private final class TokenIntern {
+    private var cap = 1 << 12
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var size = 0
+    private val MaxCap = 1 << 17
+
+    // matches String.hashCode over the lowered region
+    private def hash(text: String, start: Int, end: Int, preLowered: Boolean): Int = {
+      var h = 0
+      var i = start
+      while (i < end) {
+        val c0 = text.charAt(i)
+        val c = if (!preLowered && c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        h = h * 31 + c
+        i += 1
+      }
+      h
+    }
+
+    private def regionEq(k: String, text: String, start: Int, end: Int, preLowered: Boolean): Boolean = {
+      if (k.length != end - start) return false
+      var i = 0
+      val n = k.length
+      while (i < n) {
+        val c0 = text.charAt(start + i)
+        val c = if (!preLowered && c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if (c != k.charAt(i)) return false
+        i += 1
+      }
+      true
+    }
+
+    private def grow(): Unit = {
+      val old = keys
+      cap <<= 1
+      mask = cap - 1
+      keys = new Array[String](cap)
+      var i = 0
+      while (i < old.length) {
+        val k = old(i)
+        if (k != null) {
+          var slot = k.hashCode & mask
+          while (keys(slot) != null) slot = (slot + 1) & mask
+          keys(slot) = k
+        }
+        i += 1
+      }
+    }
+
+    /** Canonical lowered String for text[start, end). `preLowered` = the
+      * region is already lowercase (legacy non-ASCII path). */
+    def get(text: String, start: Int, end: Int, preLowered: Boolean): String = {
+      val h = hash(text, start, end, preLowered)
+      var slot = h & mask
+      var k = keys(slot)
+      while (k != null) {
+        if (k.hashCode == h && regionEq(k, text, start, end, preLowered)) return k
+        slot = (slot + 1) & mask
+        k = keys(slot)
+      }
+      val fresh =
+        if (preLowered) text.substring(start, end) else lowerSlice(text, start, end)
+      if (size < (cap - (cap >> 2))) { // load factor <= 0.75
+        keys(slot) = fresh
+        size += 1
+      } else if (cap < MaxCap) {
+        grow()
+        var s2 = h & mask
+        while (keys(s2) != null) s2 = (s2 + 1) & mask
+        keys(s2) = fresh
+        size += 1
+      } // else: table full — hand out the fresh copy uninterned
+      fresh
+    }
+  }
+
+  private val Interned = ThreadLocal.withInitial[TokenIntern](() => new TokenIntern)
+
   /** Unicode-aware word tokenization over case-folded text
     * (extractor.py:1110-1116). Hand-rolled scanner equivalent to
     * `(?U)\\w+` on the lowered text — tokenization is the engine's hottest
     * scalar (scoring, clustering, repair, autofill all build keyword sets),
-    * and the regex version allocated a Match per token. */
+    * and the regex version allocated a Match per token. ASCII input (the
+    * overwhelming case) skips the full-string lowercase copy. */
   def tokenize(text: String): List[String] = {
     if (text == null || text.isEmpty) return Nil
-    val low = text.toLowerCase(Locale.ROOT)
+    val tin = Interned.get()
     val out = scala.collection.mutable.ListBuffer.empty[String]
-    var i = 0
-    val n = low.length
-    while (i < n) {
-      val c = low.charAt(i)
-      if (Character.isLetterOrDigit(c) || c == '_') {
-        val start = i
-        while (i < n && {
-          val ch = low.charAt(i); Character.isLetterOrDigit(ch) || ch == '_'
-        }) i += 1
-        out += low.substring(start, i)
-      } else i += 1
+    if (isAscii(text)) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (asciiWordChar(text.charAt(i))) {
+          val start = i
+          while (i < n && asciiWordChar(text.charAt(i))) i += 1
+          out += tin.get(text, start, i, preLowered = false)
+        } else i += 1
+      }
+    } else {
+      val low = text.toLowerCase(Locale.ROOT)
+      var i = 0
+      val n = low.length
+      while (i < n) {
+        val c = low.charAt(i)
+        if (Character.isLetterOrDigit(c) || c == '_') {
+          val start = i
+          while (i < n && {
+            val ch = low.charAt(i); Character.isLetterOrDigit(ch) || ch == '_'
+          }) i += 1
+          out += tin.get(low, start, i, preLowered = true)
+        } else i += 1
+      }
     }
     out.toList
+  }
+
+  /** |a ∩ b| without allocating the intersection, counting at most `cap`
+    * hits — the clustering/autofill/repair scorers only ever compare or cap
+    * the overlap size, and `intersect` allocated a set per scored pair in
+    * the extraction inner loop. Iterates the smaller side. */
+  def overlap(a: Set[String], b: Set[String], cap: Int = Int.MaxValue): Int = {
+    val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+    var n = 0
+    val it = small.iterator
+    while (n < cap && it.hasNext) if (large.contains(it.next())) n += 1
+    n
   }
 
   /** EN + TR + FR function-word stopword set (extractor.py:1069-1083). */
@@ -98,29 +237,111 @@ object Normalize {
     "que", "qui", "sont", "été", "pas", "ont", "cette", "ces", "mais", "aussi"
   )
 
-  /** Tokens of length ≥ 4 minus stopwords (extractor.py:1119-1121). */
-  def keywordSet(text: String): Set[String] =
-    tokenize(text).iterator.filter(t => t.length >= 4 && !Stopwords.contains(t)).toSet
+  /** Tokens of length ≥ 4 minus stopwords (extractor.py:1119-1121).
+    * Single-pass direct set build: no intermediate token list, no cons
+    * cells, and sub-minimum tokens are skipped BEFORE the substring copy
+    * (this is the engine's hottest set constructor). */
+  def keywordSet(text: String): Set[String] = tokenSet(text, 4, Stopwords)
+
+  /** Tokens of length ≥ `minLen` minus `stops`, built in one pass. */
+  def tokenSet(text: String, minLen: Int, stops: Set[String] = Set.empty): Set[String] = {
+    if (text == null || text.isEmpty) return Set.empty
+    val tin = Interned.get()
+    val out = Set.newBuilder[String]
+    if (isAscii(text)) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (asciiWordChar(text.charAt(i))) {
+          val start = i
+          while (i < n && asciiWordChar(text.charAt(i))) i += 1
+          if (i - start >= minLen) {
+            val t = tin.get(text, start, i, preLowered = false)
+            if (!stops.contains(t)) out += t
+          }
+        } else i += 1
+      }
+    } else {
+      val low = text.toLowerCase(Locale.ROOT)
+      var i = 0
+      val n = low.length
+      while (i < n) {
+        val c = low.charAt(i)
+        if (Character.isLetterOrDigit(c) || c == '_') {
+          val start = i
+          while (i < n && {
+            val ch = low.charAt(i); Character.isLetterOrDigit(ch) || ch == '_'
+          }) i += 1
+          if (i - start >= minLen) {
+            val t = tin.get(low, start, i, preLowered = true)
+            if (!stops.contains(t)) out += t
+          }
+        } else i += 1
+      }
+    }
+    out.result()
+  }
 
   /** ASCII word tokens `[a-zA-Z0-9_]+` on the lowered text — the repair
     * engine's tokenizer (repair_orphans.py:152-154), which is narrower than
-    * the extractor's unicode `\w+`. */
+    * the extractor's unicode `\w+`. Note the lowered-text semantics: chars
+    * that LOWER to ASCII word chars (e.g. 'İ' in some mappings) count, so
+    * the fast path requires an all-ASCII input. */
   def asciiTokenize(text: String): List[String] = {
     if (text == null || text.isEmpty) return Nil
-    val low = text.toLowerCase(Locale.ROOT)
+    val tin = Interned.get()
     val out = scala.collection.mutable.ListBuffer.empty[String]
-    var i = 0
-    val n = low.length
-    def isAscii(c: Char): Boolean =
-      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
-    while (i < n) {
-      if (isAscii(low.charAt(i))) {
-        val start = i
-        while (i < n && isAscii(low.charAt(i))) i += 1
-        out += low.substring(start, i)
-      } else i += 1
+    if (isAscii(text)) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (asciiWordChar(text.charAt(i))) {
+          val start = i
+          while (i < n && asciiWordChar(text.charAt(i))) i += 1
+          out += tin.get(text, start, i, preLowered = false)
+        } else i += 1
+      }
+    } else {
+      val low = text.toLowerCase(Locale.ROOT)
+      var i = 0
+      val n = low.length
+      def wordCh(c: Char): Boolean =
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      while (i < n) {
+        if (wordCh(low.charAt(i))) {
+          val start = i
+          while (i < n && wordCh(low.charAt(i))) i += 1
+          out += tin.get(low, start, i, preLowered = true)
+        } else i += 1
+      }
     }
     out.toList
+  }
+
+  /** ASCII tokens ≥ `minLen` minus `stops`, single-pass set build (the
+    * repair engine's keyword_set shape, repair_orphans.py:157-160). */
+  def asciiKeywordSet(text: String, minLen: Int, stops: Set[String]): Set[String] = {
+    if (text == null || text.isEmpty) return Set.empty
+    val tin = Interned.get()
+    val out = Set.newBuilder[String]
+    if (isAscii(text)) {
+      var i = 0
+      val n = text.length
+      while (i < n) {
+        if (asciiWordChar(text.charAt(i))) {
+          val start = i
+          while (i < n && asciiWordChar(text.charAt(i))) i += 1
+          if (i - start >= minLen) {
+            val t = tin.get(text, start, i, preLowered = false)
+            if (!stops.contains(t)) out += t
+          }
+        } else i += 1
+      }
+      out.result()
+    } else {
+      asciiTokenize(text).iterator
+        .filter(t => t.length >= minLen && !stops.contains(t)).toSet
+    }
   }
 
   /** Case-insensitive (optionally Turkish-folded) substring test (extractor.py:1124-1129). */
@@ -189,21 +410,41 @@ object Normalize {
     new String(out)
   }
 
-  /** sha256 hex digest (full). */
-  def sha256Hex(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    toHex(md.digest(s.getBytes("UTF-8")))
+  // one digest instance + output buffer per thread: getInstance allocates
+  // provider wiring on every call, digests run once per node/edge/anchor
+  // (digest() resets the instance, so reuse is safe), and digesting into the
+  // reusable buffer + emitting exactly the requested hex width avoids the
+  // digest byte[] plus the full-hex-then-take String copies
+  private val Sha256 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-256"))
+  private val Sha1 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("SHA-1"))
+  private val DigestBuf = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](32))
+
+  private def digestHexN(md: java.security.MessageDigest, s: String, hexChars: Int): String = {
+    md.update(s.getBytes("UTF-8"))
+    val buf = DigestBuf.get()
+    val len = md.digest(buf, 0, buf.length)
+    val n = math.min(hexChars, len * 2)
+    val out = new Array[Char](n)
+    var i = 0
+    while (i < n) {
+      val b = buf(i >> 1) & 0xff
+      out(i) = if ((i & 1) == 0) HexChars(b >>> 4) else HexChars(b & 0xf)
+      i += 1
+    }
+    new String(out)
   }
+
+  /** sha256 hex digest (full). */
+  def sha256Hex(s: String): String = digestHexN(Sha256.get(), s, 64)
 
   /** Document id: "sha256:" + first 12 hex chars (extractor.py:4488). */
-  def docId(text: String): String = "sha256:" + sha256Hex(text).take(12)
+  def docId(text: String): String = "sha256:" + digestHexN(Sha256.get(), text, 12)
 
   /** Anchor text hash: first 16 hex chars of sha256 (extractor.py:1686-1689). */
-  def textHash16(s: String): String = sha256Hex(s).take(16)
+  def textHash16(s: String): String = digestHexN(Sha256.get(), s, 16)
 
   /** sha1 hex digest, used for deterministic edge-id tags (extractor.py:4778). */
-  def sha1Hex8(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("SHA-1")
-    toHex(md.digest(s.getBytes("UTF-8"))).take(8)
-  }
+  def sha1Hex8(s: String): String = digestHexN(Sha1.get(), s, 8)
 }

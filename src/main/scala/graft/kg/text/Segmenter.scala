@@ -61,12 +61,16 @@ object Segmenter {
     while (pi < paraStarts.length - 1) {
       val start = paraStarts(pi)
       val end = paraStarts(pi + 1)
-      val rawPara = text.substring(start, end)
-      val paraText = rawPara.trim
-      if (paraText.nonEmpty) {
-        val leadingWs = rawPara.length - rawPara.replaceFirst("^\\s+", "").length
-        val adjStart = start + leadingWs
-        val adjEnd = adjStart + paraText.length
+      // trim bounds computed in place (String.trim semantics: chars <= ' '),
+      // so each non-empty paragraph/sentence costs exactly ONE substring —
+      // the raw-substring + trim + regex-replaceFirst triple was a profiled
+      // allocation hot spot
+      var adjStart = start
+      var adjEnd = end
+      while (adjStart < adjEnd && text.charAt(adjStart) <= ' ') adjStart += 1
+      while (adjEnd > adjStart && text.charAt(adjEnd - 1) <= ' ') adjEnd -= 1
+      if (adjEnd > adjStart) {
+        val paraText = text.substring(adjStart, adjEnd)
         val paraSeg = TextSegment(paraText, adjStart, adjEnd, paragraphs.length, -1)
         paragraphs += paraSeg
 
@@ -80,10 +84,14 @@ object Segmenter {
         while (si < sentStarts.length - 1) {
           val sStart = sentStarts(si)
           val sEnd = sentStarts(si + 1)
-          val sentText = paraText.substring(sStart, sEnd).trim
-          if (sentText.nonEmpty) {
+          var ts = sStart
+          var te = sEnd
+          while (ts < te && paraText.charAt(ts) <= ' ') ts += 1
+          while (te > ts && paraText.charAt(te - 1) <= ' ') te -= 1
+          if (te > ts) {
             sentences += TextSegment(
-              sentText, adjStart + sStart, adjStart + sEnd, paraSeg.paraIndex, sentIdx)
+              paraText.substring(ts, te), adjStart + sStart, adjStart + sEnd,
+              paraSeg.paraIndex, sentIdx)
             sentIdx += 1
           }
           si += 1
