@@ -725,6 +725,169 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("block"))
     }),
 
+    // --- W1 stable turn ordering: the REAL DocExtractor.assemble (sort by
+    //     (turn_idx, text), "\n" join) over planted turns with DUPLICATE
+    //     turn_idx values, so the tie-break is exercised; order-invariant
+    //     under any shuffle by construction ---
+    "q53_assemble_order" -> ((s, dir) => {
+      val texts = Seq(
+        "the petitioner contends the order is void",
+        "notice was not served before termination",
+        "the appeal is allowed with costs",
+        "whether natural justice applies",
+        "the respondent relies on the enquiry report")
+      val asmU = udf((turns: Seq[(Int, String)]) =>
+        graft.kg.extract.DocExtractor.assemble(turns))
+      pq(s, dir, "orders")
+        .select((col("o_custkey") % 50).as("conv"),
+          (col("o_orderkey") % 7).cast("int").as("idx"),
+          element_at(array(texts.map(lit): _*),
+            (col("o_orderkey") % 5).cast("int") + 1).as("text"))
+        .groupBy(col("conv"))
+        .agg(collect_list(struct(col("idx").as("_1"), col("text").as("_2"))).as("turns"),
+          count(lit(1)).as("n_turns"))
+        .select(col("conv").cast("long").as("conv"), col("n_turns"),
+          md5(asmU(col("turns"))).as("assembled_md5"))
+        .orderBy(col("conv"))
+    }),
+
+    // --- T12 case-id sanitization over planted raw ids (slash/backslash →
+    //     _, non-[0-9A-Za-z._-] runs → _, collapse + strip _, empty →
+    //     "case") ---
+    "q54_sanitize_id" -> ((s, dir) => {
+      val raws = Seq(
+        "AIR 1978/SC\\597",
+        " In  re: Kerala-Edu. Bill, 1957 ",
+        "___",
+        "W.P.(C) No. 123 of 2020",
+        "##??!!")
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(raws.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("raw"))
+        .select(col("doc_id"), col("raw"),
+          graft.kg.io.CaseAdapter.sanitizeCaseId(col("raw")).as("case_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- M4/C5 overlap dedup (keep-longest): the REAL
+    //     Citations.dedupeOverlapping (stable sort by (start, -len), greedy
+    //     sweep keeping start >= lastEnd) over planted interval sets with
+    //     deliberate overlaps and (start, len) ties ---
+    "q55_overlap_dedup" -> ((s, dir) => {
+      val js = sequence(lit(0), lit(5))
+      val starts = transform(js, j => (col("doc_id") * 7 + j * j * 3) % 40)
+      val lens = transform(js, j => lit(3) + (col("doc_id") + j) % 9)
+      val types = transform(js, j => concat(lit("t"), (j % 3).cast("string")))
+      val dedupU = udf((ss: Seq[Long], ls: Seq[Long], ts: Seq[String]) => {
+        val hits = ss.indices.map(j => graft.kg.rules.CitationHit(
+          "x", ss(j).toInt, (ss(j) + ls(j)).toInt, ts(j), None, None)).toList
+        graft.kg.rules.Citations.dedupeOverlapping(hits)
+          .map(h => s"${h.startChar}:${h.endChar}:${h.citationType}")
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(dedupU(starts, lens, types)).as(Seq("rk", "kept")))
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          split(col("kept"), ":").getItem(0).cast("long").as("start"),
+          split(col("kept"), ":").getItem(1).cast("long").as("end"),
+          split(col("kept"), ":").getItem(2).as("ctype"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // --- P8 legitimate-orphan predicate over planted field combinations
+    //     (decorrelated cycles hit every branch of every node type) ---
+    "q56_legit_orphan" -> ((s, dir) => {
+      val nts = Seq("fact", "argument", "concept", "precedent", "issue", "outcome")
+      val cfs = Seq("rejected", "accepted", "not_decided")
+      val fts = Seq("background", "procedural")
+      val crs = Seq("rejected", "accepted", "not_addressed")
+      val rvs = Seq("mentioned", "central", "obiter")
+      val trs = Seq("cited", "followed")
+      // indices use floor(doc_id/p) with distinct p so every attribute
+      // varies WITHIN each nodeType stratum (same-modulus cycles would pin
+      // e.g. courtFinding constant across all fact rows)
+      def cyc(xs: Seq[String], div: Int, m: Int) =
+        element_at(array(xs.map(lit): _*),
+          (floor(col("doc_id") / div) % m).cast("int") + 1)
+      val legitU = udf((nt: String, cf: String, ft: String, cr: String, rv: String, tr: String) =>
+        graft.kg.extract.OrphanRepair.legitimateOrphan(nt, cf, ft, cr, rv, tr))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          cyc(nts, 1, 6).as("nt"), cyc(cfs, 7, 3).as("cf"), cyc(fts, 7, 2).as("ft"),
+          cyc(crs, 11, 3).as("cr"), cyc(rvs, 13, 3).as("rv"), cyc(trs, 5, 2).as("tr"))
+        .withColumn("legit",
+          legitU(col("nt"), col("cf"), col("ft"), col("cr"), col("rv"), col("tr")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- C1/C2 cross-conversation canonicalization + edge rewire: the REAL
+    //     Canonicalizer.canonicalTriples (precedent name↔citation keys →
+    //     connected components → canonical min-key → both endpoint joins)
+    //     over planted nodes/edges whose attributes are pure functions of
+    //     (conv, id), so an independent SQL mirror can rebuild the mapping
+    //     with recursive min-label CC and replay the rewrite ---
+    "q57_canonical_rewrite" -> ((s, dir) => {
+      val names = Seq(
+        "Maneka  Gandhi v. Union of India", "Kesavananda Bharati v. State of Kerala",
+        "Olga Tellis v. Bombay Municipal Corporation", "A.K. Gopalan v. State of Madras")
+      val cits = Seq(
+        "AIR 1978 SC 597", "AIR 1973 SC 1461", "AIR  1986 SC 180",
+        "AIR 1950 SC 27", "1973 (4) SCC 225", "1985 (3) SCC 545")
+      val o = pq(s, dir, "orders")
+        .select((col("o_custkey") % 20).cast("string").as("convId"),
+          (col("o_orderkey") % 5).cast("int").as("pid"),
+          (col("o_orderkey") % 3).cast("int").as("cid"))
+      // attributes are functions of (convId, pid) alone → distinct = unique
+      val nameIdx = (col("convId").cast("int") + col("pid")) % 8
+      val citIdx = (col("convId").cast("int") * 2 + col("pid")) % 6
+      val precNodes = o.select(col("convId"), concat(lit("p"), col("pid").cast("string")).as("id"),
+          lit("precedent").as("nodeType"),
+          when(nameIdx < 4, element_at(array(names.map(lit): _*), nameIdx.cast("int") + 1))
+            .otherwise(lit(null).cast("string")).as("caseName"),
+          element_at(array(cits.map(lit): _*), citIdx.cast("int") + 1).as("citation"),
+          lit("air").as("citationType"),
+          lit(null).cast("string").as("conceptId"))
+        .distinct()
+      val conNodes = o.select(col("convId"), concat(lit("c"), col("cid").cast("string")).as("id"),
+          lit("concept").as("nodeType"),
+          lit(null).cast("string").as("caseName"),
+          lit(null).cast("string").as("citation"),
+          lit(null).cast("string").as("citationType"),
+          concat(lit("CONST_"), ((col("convId").cast("int") + col("cid")) % 4).cast("string")).as("conceptId"))
+        .distinct()
+      val edges = o.select(col("convId"),
+        concat(lit("p"), col("pid").cast("string")).as("source"),
+        concat(lit("c"), col("cid").cast("string")).as("target"),
+        lit("follows").as("relation"))
+      graft.kg.canonical.Canonicalizer
+        .canonicalTriples(s, precNodes.union(conNodes), edges)
+        .orderBy(col("conv_id"), col("subj"), col("obj"))
+    }),
+
+    // --- V3 argument-scheme normalization: coerceScheme alias cascade over
+    //     planted raw schemes + inferScheme cue buckets over planted
+    //     sentences (priority order exercised by multi-cue sentences) ---
+    "q58_scheme_norm" -> ((s, dir) => {
+      val raws = Seq(
+        "Textual Interpretation", "precedent-distinguishing",
+        "AUDI ALTERAM PARTEM", "weird scheme!!", "balancing", "jurisdiction")
+      val sents = Seq(
+        "the evidence is proportional to the restriction imposed",
+        "counsel relied on the precedent cited at the bar",
+        "the plain meaning of the provision is clear",
+        "the order traverses beyond jurisdiction and is time-barred",
+        "the measure serves no identifiable purpose at all")
+      val coerceU = udf((r: String) => graft.kg.rules.Actors.coerceScheme(r))
+      val inferU = udf((t: String) => graft.kg.rules.Actors.inferScheme(t))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(raws.map(lit): _*), (col("doc_id") % 6).cast("int") + 1).as("raw"),
+          element_at(array(sents.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("sent"))
+        .select(col("doc_id"), col("raw"), col("sent"),
+          coerceU(col("raw")).as("scheme"), inferU(col("sent")).as("inferred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1045,6 +1208,234 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q56_legit_orphan" ->
+      // mirrors OrphanRepair.legitimateOrphan branch-for-branch
+      // (repair_orphans.py is_legitimate_orphan)
+      """WITH planted AS (
+           SELECT doc_id,
+             (['fact','argument','concept','precedent','issue','outcome'])[CAST(doc_id % 6 AS INT)+1] AS nt,
+             (['rejected','accepted','not_decided'])[CAST((doc_id // 7) % 3 AS INT)+1] AS cf,
+             (['background','procedural'])[CAST((doc_id // 7) % 2 AS INT)+1] AS ft,
+             (['rejected','accepted','not_addressed'])[CAST((doc_id // 11) % 3 AS INT)+1] AS cr,
+             (['mentioned','central','obiter'])[CAST((doc_id // 13) % 3 AS INT)+1] AS rv,
+             (['cited','followed'])[CAST((doc_id // 5) % 2 AS INT)+1] AS tr
+           FROM documents)
+         SELECT doc_id, nt, cf, ft, cr, rv, tr,
+           CASE nt
+             WHEN 'fact' THEN (cf = 'rejected' OR cf = 'not_decided' OR ft = 'background')
+             WHEN 'argument' THEN (cr = 'rejected' OR cr = 'not_addressed')
+             WHEN 'concept' THEN (rv = 'mentioned' OR rv = 'obiter')
+             WHEN 'precedent' THEN (tr = 'cited')
+             ELSE false END AS legit
+         FROM planted ORDER BY doc_id""",
+
+    "q57_canonical_rewrite" ->
+      // independent replay of the canonicalization: rebuild the planted
+      // precedent key rows, run min-label CC over the name↔citation
+      // bipartite graph (plus citation self-edges) with the q17/q27 walk
+      // pattern, take the lexicographic min key per component (what the
+      // union-find emits), then replay BOTH endpoint joins of the edge
+      // rewrite with the conv-local fallback
+      """WITH RECURSIVE o AS (
+           SELECT DISTINCT CAST(o_custkey % 20 AS VARCHAR) AS conv,
+             CAST(o_orderkey % 5 AS INT) AS pid,
+             CAST(o_orderkey % 3 AS INT) AS cid
+           FROM orders),
+         prec AS (
+           SELECT DISTINCT conv, 'p' || CAST(pid AS VARCHAR) AS id,
+             CASE WHEN (CAST(conv AS INT) + pid) % 8 < 4 THEN
+               (['Maneka  Gandhi v. Union of India',
+                 'Kesavananda Bharati v. State of Kerala',
+                 'Olga Tellis v. Bombay Municipal Corporation',
+                 'A.K. Gopalan v. State of Madras'])[CAST((CAST(conv AS INT) + pid) % 8 AS INT) + 1]
+             ELSE NULL END AS case_name,
+             (['AIR 1978 SC 597','AIR 1973 SC 1461','AIR  1986 SC 180',
+               'AIR 1950 SC 27','1973 (4) SCC 225','1985 (3) SCC 545'])[CAST((CAST(conv AS INT)*2 + pid) % 6 AS INT) + 1] AS citation
+           FROM o),
+         keys AS (
+           SELECT conv, id,
+             CASE WHEN case_name IS NOT NULL THEN
+               'case:' || lower(regexp_replace(trim(case_name), '\s+', ' ', 'g'))
+             ELSE NULL END AS name_key,
+             'cit:air:' || lower(regexp_replace(trim(citation), '\s+', ' ', 'g')) AS cit_key
+           FROM prec),
+         pairs AS (
+           SELECT name_key AS src, cit_key AS dst FROM keys WHERE name_key IS NOT NULL
+           UNION
+           SELECT cit_key, name_key FROM keys WHERE name_key IS NOT NULL),
+         allk AS (
+           SELECT DISTINCT cit_key AS node FROM keys
+           UNION SELECT DISTINCT name_key FROM keys WHERE name_key IS NOT NULL),
+         walk(id, lbl) AS (
+           SELECT node, node FROM allk
+           UNION
+           SELECT p.dst, w.lbl FROM walk w JOIN pairs p ON p.src = w.id),
+         comp AS (SELECT id AS node, min(lbl) AS component FROM walk GROUP BY id),
+         pmap AS (
+           SELECT k.conv, k.id, coalesce(c.component, k.cit_key) AS canonical_id
+           FROM keys k LEFT JOIN comp c ON c.node = k.cit_key),
+         cmap AS (
+           SELECT DISTINCT conv, 'c' || CAST(cid AS VARCHAR) AS id,
+             'concept:CONST_' || CAST((CAST(conv AS INT) + cid) % 4 AS VARCHAR) AS canonical_id
+           FROM o),
+         mapping AS (SELECT * FROM pmap UNION ALL SELECT * FROM cmap),
+         edges AS (
+           SELECT CAST(o_custkey % 20 AS VARCHAR) AS conv,
+             'p' || CAST(CAST(o_orderkey % 5 AS INT) AS VARCHAR) AS source,
+             'c' || CAST(CAST(o_orderkey % 3 AS INT) AS VARCHAR) AS target
+           FROM orders)
+         SELECT e.conv AS conv_id,
+           coalesce(sm.canonical_id, e.conv || '/' || e.source) AS subj,
+           'follows' AS pred,
+           coalesce(tm.canonical_id, e.conv || '/' || e.target) AS obj
+         FROM edges e
+         LEFT JOIN mapping sm ON sm.conv = e.conv AND sm.id = e.source
+         LEFT JOIN mapping tm ON tm.conv = e.conv AND tm.id = e.target
+         ORDER BY conv_id, subj, obj""",
+
+    "q58_scheme_norm" ->
+      // mirrors Actors.coerceScheme (underscore fold → alias map → enum
+      // clamp to 'other') and Actors.inferScheme (cue buckets, first match
+      // in fixed priority order, default rule_application)
+      """WITH planted AS (
+           SELECT doc_id,
+             (['Textual Interpretation','precedent-distinguishing',
+               'AUDI ALTERAM PARTEM','weird scheme!!','balancing',
+               'jurisdiction'])[CAST(doc_id % 6 AS INT)+1] AS raw,
+             (['the evidence is proportional to the restriction imposed',
+               'counsel relied on the precedent cited at the bar',
+               'the plain meaning of the provision is clear',
+               'the order traverses beyond jurisdiction and is time-barred',
+               'the measure serves no identifiable purpose at all'])[CAST(doc_id % 5 AS INT)+1] AS sent
+           FROM documents),
+         folded AS (
+           SELECT doc_id, raw, sent,
+             regexp_replace(replace(replace(lower(trim(raw)), '-', '_'), ' ', '_'),
+               '_+', '_', 'g') AS fold
+           FROM planted),
+         aliased AS (
+           SELECT doc_id, raw, sent,
+             CASE fold
+               WHEN 'textual_interpretation' THEN 'textual'
+               WHEN 'purposive_interpretation' THEN 'purposive'
+               WHEN 'harmonious_construction' THEN 'harmonious'
+               WHEN 'procedural_compliance' THEN 'procedural'
+               WHEN 'precedent_distinguishing' THEN 'precedent_distinction'
+               WHEN 'policy_consequences' THEN 'policy_consequence'
+               WHEN 'naturaljustice' THEN 'natural_justice'
+               WHEN 'natural_justice_principle' THEN 'natural_justice'
+               WHEN 'procedural_fairness' THEN 'natural_justice'
+               WHEN 'audi_alteram_partem' THEN 'natural_justice'
+               ELSE fold END AS n
+           FROM folded)
+         SELECT doc_id, raw, sent,
+           CASE WHEN n IN ('rule_application','rule_exception','precedent_following',
+             'precedent_analogy','precedent_distinction','textual','purposive',
+             'harmonious','proportionality','balancing','evidence_sufficiency',
+             'evidence_credibility','procedural','jurisdiction','limitation',
+             'policy_consequence','public_interest','natural_justice','other')
+             THEN n ELSE 'other' END AS scheme,
+           CASE
+             WHEN sent LIKE '%natural justice%' OR sent LIKE '%audi alteram%'
+               OR sent LIKE '%procedural fairness%' THEN 'natural_justice'
+             WHEN sent LIKE '%proportional%' THEN 'proportionality'
+             WHEN sent LIKE '%distinguish%' THEN 'precedent_distinction'
+             WHEN sent LIKE '%relied on%' OR sent LIKE '%relying on%'
+               OR sent LIKE '%followed in%' OR sent LIKE '%precedent%'
+               OR sent LIKE '%cited%' THEN 'precedent_following'
+             WHEN sent LIKE '%harmonious%' THEN 'harmonious'
+             WHEN sent LIKE '%purposive%' OR sent LIKE '%object and purpose%'
+               OR sent LIKE '%intention of the legislature%' THEN 'purposive'
+             WHEN sent LIKE '%plain meaning%' OR sent LIKE '%literal%'
+               OR sent LIKE '%textual%' OR sent LIKE '%plain language%' THEN 'textual'
+             WHEN sent LIKE '%balanc%' THEN 'balancing'
+             WHEN sent LIKE '%evidence%' OR sent LIKE '%proof%'
+               OR sent LIKE '%burden%' THEN 'evidence_sufficiency'
+             WHEN sent LIKE '%jurisdiction%' THEN 'jurisdiction'
+             WHEN sent LIKE '%limitation%' OR sent LIKE '%time-barred%'
+               OR sent LIKE '%barred by time%' THEN 'limitation'
+             WHEN sent LIKE '%public interest%' THEN 'public_interest'
+             WHEN sent LIKE '%policy%' OR sent LIKE '%consequence%' THEN 'policy_consequence'
+             WHEN sent LIKE '%procedur%' THEN 'procedural'
+             WHEN sent LIKE '%exception%' OR sent LIKE '%proviso%' THEN 'rule_exception'
+             ELSE 'rule_application' END AS inferred
+         FROM aliased ORDER BY doc_id""",
+
+    "q55_overlap_dedup" ->
+      // mirrors Citations.dedupeOverlapping: rank by (start, -len, j) — the
+      // j tie-break reproduces Scala's STABLE sort — then a recursive greedy
+      // sweep carrying lastEnd (keep when start >= lastEnd, as the Python
+      // longest-span dedup does, citation_preprocess.py:374-394)
+      """WITH RECURSIVE hits AS (
+           SELECT doc_id, j,
+             (doc_id*7 + j*j*3) % 40 AS s,
+             3 + (doc_id + j) % 9 AS len,
+             't' || CAST(j % 3 AS VARCHAR) AS ctype
+           FROM (SELECT doc_id, unnest(generate_series(0, 5)) AS j FROM documents)),
+         ranked AS (
+           SELECT doc_id, s, s + len AS e, ctype,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s, len DESC, j) AS rk
+           FROM hits),
+         greedy AS (
+           SELECT doc_id, CAST(0 AS BIGINT) AS rk, CAST(-1 AS BIGINT) AS last_end,
+             CAST(NULL AS BIGINT) AS s, CAST(NULL AS BIGINT) AS e,
+             CAST(NULL AS VARCHAR) AS ctype, false AS kept
+           FROM (SELECT DISTINCT doc_id FROM ranked)
+           UNION ALL
+           SELECT r.doc_id, r.rk,
+             CASE WHEN r.s >= g.last_end THEN r.e ELSE g.last_end END,
+             r.s, r.e, r.ctype, r.s >= g.last_end
+           FROM greedy g JOIN ranked r ON r.doc_id = g.doc_id AND r.rk = g.rk + 1)
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rk) - 1 AS rk,
+           s AS start, e AS "end", ctype
+         FROM greedy WHERE kept
+         ORDER BY doc_id, rk""",
+
+    "q53_assemble_order" ->
+      // mirrors DocExtractor.assemble: sort by (turn_idx, text) — ORDER BY
+      // inside string_agg — joined with "\n"; duplicate turn_idx values in
+      // the planted turns force the text tie-break both engines must agree on
+      """WITH planted AS (
+           SELECT o_custkey % 50 AS conv,
+             CAST(o_orderkey % 7 AS INT) AS idx,
+             (['the petitioner contends the order is void',
+               'notice was not served before termination',
+               'the appeal is allowed with costs',
+               'whether natural justice applies',
+               'the respondent relies on the enquiry report'])[CAST(o_orderkey % 5 AS INT) + 1] AS text
+           FROM orders)
+         SELECT conv, count(*) AS n_turns,
+           md5(string_agg(text, chr(10) ORDER BY idx ASC, text ASC)) AS assembled_md5
+         FROM planted GROUP BY conv ORDER BY conv""",
+
+    "q54_sanitize_id" ->
+      // mirrors CaseAdapter.sanitizeCaseId; DuckDB regexp_replace needs the
+      // 'g' flag to match Spark's replace-all default
+      """WITH planted AS (
+           SELECT doc_id,
+             (['AIR 1978/SC\597',
+               ' In  re: Kerala-Edu. Bill, 1957 ',
+               '___',
+               'W.P.(C) No. 123 of 2020',
+               '##??!!'])[CAST(doc_id % 5 AS INT) + 1] AS raw
+           FROM documents),
+         clean AS (
+           SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(trim(raw), '[/\\]', '_', 'g'),
+                 '[^0-9A-Za-z._-]+', '_', 'g'),
+               '_+', '_', 'g') AS c
+           FROM planted),
+         strip AS (
+           SELECT doc_id, raw,
+             regexp_replace(regexp_replace(c, '^_+', '', 'g'), '_+$', '', 'g') AS s
+           FROM clean)
+         SELECT doc_id, raw,
+           CASE WHEN len(s) > 0 THEN s ELSE 'case' END AS case_id
+         FROM strip ORDER BY doc_id""",
 
     "q52_image_decode" ->
       // mirrors Multimodal.imageGrid over plantedImage: the planted pixels
