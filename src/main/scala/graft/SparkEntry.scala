@@ -888,6 +888,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- V7 relation repair (+ flip + drift): the REAL Relations.repair
+    //     cascade — matrix direct hit, direction flip, general drift map,
+    //     per-key drifts, preference list, sorted fallback, drop — over
+    //     decorrelated (src, tgt, relation) cycles hitting every stage ---
+    "q59_relation_repair" -> ((s, dir) => {
+      val srcs = Seq("f1", "c1", "a1", "h1", "p1", "i1", "f2", "h2", "js1", "xy9", "i2", "c2")
+      val tgts = Seq("c2", "i1", "h1", "i2", "c1", "h2", "a1", "p1", "h1", "f1", "i1", "outcome")
+      val rels = Seq("supports", "resolves", "enables", "satisfies", "establishes",
+        "explains", "zzz_rel", "conflicts_with", "distinguishes", "partially_satisfies")
+      val repU = udf((a: String, b: String, r: String) =>
+        graft.kg.rules.Relations.repair(a, b, r)
+          .map(x => Seq(x._1, x._2, x._3, x._4)).orNull)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(srcs.map(lit): _*), (col("doc_id") % 12).cast("int") + 1).as("src"),
+          element_at(array(tgts.map(lit): _*),
+            (floor(col("doc_id") / 3) % 12).cast("int") + 1).as("tgt"),
+          element_at(array(rels.map(lit): _*),
+            (floor(col("doc_id") / 7) % 10).cast("int") + 1).as("relation"))
+        .withColumn("rep", repU(col("src"), col("tgt"), col("relation")))
+        .select(col("doc_id"), col("src"), col("tgt"), col("relation"),
+          element_at(col("rep"), 1).as("new_src"),
+          element_at(col("rep"), 2).as("new_tgt"),
+          element_at(col("rep"), 3).as("new_rel"),
+          element_at(col("rep"), 4).as("note"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- T8 case-insensitive / Turkish-folded phrase containment over
+    //     planted haystack×phrase combinations (İ/I fold differences are
+    //     the point: plain lowering misses DİLEKÇE vs dilekçe) ---
+    "q60_contains_phrase" -> ((s, dir) => {
+      val hays = Seq(
+        "The DİLEKÇE was rejected by the authority",
+        "ILGILI makam gerekçe göstermedi",
+        "the principles of NATURAL justice apply",
+        "Basvuru SÜRESİ içinde yapılmıştır",
+        "no matching content here at all")
+      val phrases = Seq("dilekçe", "natural justice", "süresi", "ılgılı", "absent phrase")
+      val cU = udf((h: String, p: String) => graft.kg.text.Normalize.containsPhrase(h, p))
+      val tU = udf((h: String, p: String) =>
+        graft.kg.text.Normalize.containsPhrase(h, p, turkish = true))
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(hays.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("hay"),
+          element_at(array(phrases.map(lit): _*),
+            (floor(col("doc_id") / 3) % 5).cast("int") + 1).as("phrase"))
+        .select(col("doc_id"), col("hay"), col("phrase"),
+          cU(col("hay"), col("phrase")).as("contains_plain"),
+          tU(col("hay"), col("phrase")).as("contains_turkish"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1208,6 +1261,153 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q60_contains_phrase" ->
+      // mirrors Normalize.containsPhrase: the plain path lowers with Java
+      // semantics (İ → i + combining dot U+0307, so 'DİLEKÇE' does NOT
+      // contain 'dilekçe'), the Turkish path folds İIŞÇÖÜĞ → iışçöüğ first
+      """WITH planted AS (
+           SELECT doc_id,
+             (['The DİLEKÇE was rejected by the authority',
+               'ILGILI makam gerekçe göstermedi',
+               'the principles of NATURAL justice apply',
+               'Basvuru SÜRESİ içinde yapılmıştır',
+               'no matching content here at all'])[CAST(doc_id % 5 AS INT) + 1] AS hay,
+             (['dilekçe','natural justice','süresi','ılgılı','absent phrase'])[CAST((doc_id // 3) % 5 AS INT) + 1] AS phrase
+           FROM documents),
+         folded AS (
+           SELECT doc_id, hay, phrase,
+             lower(replace(hay, 'İ', 'i' || chr(775))) AS hp,
+             lower(replace(phrase, 'İ', 'i' || chr(775))) AS pp,
+             lower(replace(replace(replace(replace(replace(replace(replace(
+               hay, 'İ','i'),'I','ı'),'Ş','ş'),'Ç','ç'),'Ö','ö'),'Ü','ü'),'Ğ','ğ')) AS ht,
+             lower(replace(replace(replace(replace(replace(replace(replace(
+               phrase, 'İ','i'),'I','ı'),'Ş','ş'),'Ç','ç'),'Ö','ö'),'Ü','ü'),'Ğ','ğ')) AS pt
+           FROM planted)
+         SELECT doc_id, hay, phrase,
+           contains(hp, pp) AS contains_plain,
+           contains(ht, pt) AS contains_turkish
+         FROM folded ORDER BY doc_id""",
+
+    "q59_relation_repair" ->
+      // mirrors Relations.repair (extractor.py:656-738): effective key after
+      // the direction flip, then the first applicable stage — direct matrix
+      // hit, general drift map, per-key drift, preference list, sorted
+      // fallback — with the exact note strings; rows whose (type,type) has
+      // no matrix entry in either direction repair to NULL (dropped)
+      """WITH planted AS (
+           SELECT doc_id,
+             (['f1','c1','a1','h1','p1','i1','f2','h2','js1','xy9','i2','c2'])[CAST(doc_id % 12 AS INT) + 1] AS src,
+             (['c2','i1','h1','i2','c1','h2','a1','p1','h1','f1','i1','outcome'])[CAST((doc_id // 3) % 12 AS INT) + 1] AS tgt,
+             (['supports','resolves','enables','satisfies','establishes',
+               'explains','zzz_rel','conflicts_with','distinguishes','partially_satisfies'])[CAST((doc_id // 7) % 10 AS INT) + 1] AS rel
+           FROM documents),
+         typed AS (
+           SELECT doc_id, src, tgt, rel,
+             CASE WHEN src = 'outcome' THEN 'outcome'
+                  WHEN regexp_matches(src, '^js([0-9]+|_.*)$') THEN 'justification_set'
+                  WHEN regexp_matches(src, '^f([0-9]+|_.*)$') THEN 'fact'
+                  WHEN regexp_matches(src, '^c([0-9]+|_.*)$') THEN 'concept'
+                  WHEN regexp_matches(src, '^i([0-9]+|_.*)$') THEN 'issue'
+                  WHEN regexp_matches(src, '^a([0-9]+|_.*)$') THEN 'argument'
+                  WHEN regexp_matches(src, '^h([0-9]+|_.*)$') THEN 'holding'
+                  WHEN regexp_matches(src, '^p([0-9]+|_.*)$') THEN 'precedent'
+                  ELSE 'unknown' END AS st,
+             CASE WHEN tgt = 'outcome' THEN 'outcome'
+                  WHEN regexp_matches(tgt, '^js([0-9]+|_.*)$') THEN 'justification_set'
+                  WHEN regexp_matches(tgt, '^f([0-9]+|_.*)$') THEN 'fact'
+                  WHEN regexp_matches(tgt, '^c([0-9]+|_.*)$') THEN 'concept'
+                  WHEN regexp_matches(tgt, '^i([0-9]+|_.*)$') THEN 'issue'
+                  WHEN regexp_matches(tgt, '^a([0-9]+|_.*)$') THEN 'argument'
+                  WHEN regexp_matches(tgt, '^h([0-9]+|_.*)$') THEN 'holding'
+                  WHEN regexp_matches(tgt, '^p([0-9]+|_.*)$') THEN 'precedent'
+                  ELSE 'unknown' END AS tt
+           FROM planted),
+         mx(k, rels) AS (SELECT * FROM (VALUES
+           ('fact->concept', ['triggers','negates','partially_satisfies','satisfies','claims_satisfies']),
+           ('fact->argument', ['supports','grounds','rebuts','undercuts']),
+           ('fact->holding', ['supports','grounds']),
+           ('fact->issue', ['triggers','supports','addresses']),
+           ('concept->concept', ['requires','excludes','specializes','conflicts_with']),
+           ('concept->argument', ['supports','grounds','rebuts','undercuts']),
+           ('concept->holding', ['grounds','constrains','supports','enables']),
+           ('concept->issue', ['requires','addresses']),
+           ('argument->issue', ['addresses','concedes']),
+           ('argument->argument', ['attacks','supports_arg','responds_to']),
+           ('argument->holding', ['supports','grounds','rebuts','undercuts']),
+           ('argument->concept', ['supports','grounds','rebuts','undercuts','claims_satisfies']),
+           ('holding->issue', ['resolves','partially_resolves','addresses']),
+           ('holding->outcome', ['determines','contributes_to']),
+           ('holding->precedent', ['follows','applies','distinguishes','overrules','doubts','explains']),
+           ('holding->concept', ['supports','grounds','constrains','undercuts','negates']),
+           ('holding->holding', ['supports','conflicts_with','specializes','constrains','undercuts']),
+           ('precedent->concept', ['supports','grounds','establishes']),
+           ('precedent->holding', ['supports']),
+           ('precedent->argument', ['supports']),
+           ('precedent->issue', ['addresses','supports']),
+           ('issue->concept', ['requires','addresses']),
+           ('issue->holding', ['addresses','requires']),
+           ('issue->argument', ['addresses','requires']),
+           ('issue->precedent', ['addresses']),
+           ('issue->issue', ['specializes','conflicts_with','requires'])) m(k, rels)),
+         keyed AS (
+           SELECT t.doc_id, t.src, t.tgt, t.rel, t.st, t.tt,
+             f.rels AS af, r.rels AS ar,
+             (f.k IS NULL AND r.k IS NOT NULL) AS flipped,
+             (f.k IS NULL AND r.k IS NULL) AS dropped,
+             coalesce(f.rels, r.rels) AS allowed,
+             CASE WHEN f.k IS NOT NULL THEN t.st || '->' || t.tt
+                  WHEN r.k IS NOT NULL THEN t.tt || '->' || t.st END AS key
+           FROM typed t
+           LEFT JOIN mx f ON f.k = t.st || '->' || t.tt
+           LEFT JOIN mx r ON r.k = t.tt || '->' || t.st),
+         staged AS (
+           SELECT *,
+             CASE rel
+               WHEN 'explains' THEN 'addresses' WHEN 'supports_arg' THEN 'addresses'
+               WHEN 'contributes_to' THEN 'addresses' WHEN 'partially_resolves' THEN 'addresses'
+               WHEN 'resolves' THEN 'addresses' WHEN 'enables' THEN 'requires'
+               WHEN 'distinguishes' THEN 'specializes' WHEN 'partially_satisfies' THEN 'grounds'
+               WHEN 'satisfies' THEN 'supports' WHEN 'establishes' THEN 'supports' END AS dg,
+             CASE key
+               WHEN 'fact->concept' THEN
+                 CASE WHEN list_contains(allowed, 'triggers') THEN 'triggers'
+                      WHEN list_contains(allowed, 'satisfies') THEN 'satisfies' END
+               WHEN 'holding->issue' THEN
+                 CASE WHEN list_contains(allowed, 'addresses') THEN 'addresses' END
+               WHEN 'concept->issue' THEN
+                 CASE WHEN list_contains(allowed, 'addresses') THEN 'addresses' END
+               WHEN 'issue->issue' THEN
+                 CASE WHEN list_contains(allowed, 'specializes') THEN 'specializes' END
+               WHEN 'precedent->concept' THEN
+                 CASE WHEN list_contains(allowed, 'grounds') THEN 'grounds' END
+               END AS kcand,
+             list_filter(['grounds','supports','addresses','requires','specializes','triggers'],
+               x -> list_contains(allowed, x))[1] AS pref,
+             list_sort(allowed)[1] AS fb
+           FROM keyed),
+         resolved AS (
+           SELECT doc_id, src, tgt, rel, flipped, dropped,
+             CASE WHEN dropped THEN NULL
+               WHEN list_contains(allowed, rel) THEN rel
+               WHEN dg IS NOT NULL AND list_contains(allowed, dg) THEN dg
+               WHEN kcand IS NOT NULL THEN kcand
+               WHEN pref IS NOT NULL THEN pref
+               ELSE fb END AS chosen,
+             CASE WHEN dropped THEN NULL
+               WHEN list_contains(allowed, rel) THEN
+                 CASE WHEN flipped THEN 'flipped direction' ELSE 'ok' END
+               ELSE (CASE WHEN flipped THEN 'flipped; ' ELSE '' END) || rel || '->' ||
+                 (CASE WHEN dg IS NOT NULL AND list_contains(allowed, dg) THEN dg
+                       WHEN kcand IS NOT NULL THEN kcand
+                       WHEN pref IS NOT NULL THEN pref
+                       ELSE fb END) END AS note
+           FROM staged)
+         SELECT doc_id, src, tgt, rel AS relation,
+           CASE WHEN dropped THEN NULL WHEN flipped THEN tgt ELSE src END AS new_src,
+           CASE WHEN dropped THEN NULL WHEN flipped THEN src ELSE tgt END AS new_tgt,
+           chosen AS new_rel, note
+         FROM resolved ORDER BY doc_id""",
 
     "q56_legit_orphan" ->
       // mirrors OrphanRepair.legitimateOrphan branch-for-branch
