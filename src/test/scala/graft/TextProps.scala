@@ -125,4 +125,97 @@ object TextProps extends Properties("graft.text") {
       val x = s + tr
       Normalize.turkishLower(Normalize.turkishLower(x)) == Normalize.turkishLower(x)
     }
+
+  // ---- round-5 fast paths vs the pre-optimization reference formulas ------
+  // mixed ASCII / Turkish / unicode text: exercises the ASCII fast paths,
+  // the locale-correct fallbacks, AND the dispatch between them
+  private val mixedGen: Gen[String] = Gen.listOf(Gen.oneOf(
+    wordGen,
+    Gen.oneOf("İstanbul", "ILGILI", "şart", "müracaat", "ğĞüÜ", "Maßstab",
+      "№42", "CamelCase", "a_b_c", "42nd"),
+    Gen.oneOf(" ", ", ", ". ", "_", "-", "  ", "\n"))).map(_.mkString)
+
+  /** The pre-optimization tokenizer: full-string lowercase, one scanner. */
+  private def legacyTokenize(text: String): List[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val low = text.toLowerCase(java.util.Locale.ROOT)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < low.length) {
+      val c = low.charAt(i)
+      if (Character.isLetterOrDigit(c) || c == '_') {
+        val start = i
+        while (i < low.length && {
+          val ch = low.charAt(i); Character.isLetterOrDigit(ch) || ch == '_'
+        }) i += 1
+        out += low.substring(start, i)
+      } else i += 1
+    }
+    out.toList
+  }
+
+  private def legacyAsciiTokenize(text: String): List[String] = {
+    if (text == null || text.isEmpty) return Nil
+    val low = text.toLowerCase(java.util.Locale.ROOT)
+    def w(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < low.length) {
+      if (w(low.charAt(i))) {
+        val start = i
+        while (i < low.length && w(low.charAt(i))) i += 1
+        out += low.substring(start, i)
+      } else i += 1
+    }
+    out.toList
+  }
+
+  property("tokenize matches the full-lowercase reference scan") =
+    Prop.forAll(mixedGen)(s => Normalize.tokenize(s) == legacyTokenize(s))
+
+  property("keywordSet/tokenSet match the tokenize-filter formulas") =
+    Prop.forAll(mixedGen) { s =>
+      Normalize.keywordSet(s) == legacyTokenize(s).iterator
+        .filter(t => t.length >= 4 && !Normalize.Stopwords.contains(t)).toSet &&
+      Normalize.tokenSet(s, 3) == legacyTokenize(s).filter(_.length >= 3).toSet
+    }
+
+  property("asciiTokenize/asciiKeywordSet match the ascii reference scan") =
+    Prop.forAll(mixedGen) { s =>
+      Normalize.asciiTokenize(s) == legacyAsciiTokenize(s) &&
+      Normalize.asciiKeywordSet(s, 4, Normalize.Stopwords) ==
+        legacyAsciiTokenize(s).iterator
+          .filter(t => t.length >= 4 && !Normalize.Stopwords.contains(t)).toSet
+    }
+
+  property("overlap equals intersect size, with and without cap") =
+    Prop.forAll(Gen.listOf(wordGen), Gen.listOf(wordGen), Gen.chooseNum(0, 5)) {
+      (a0, b0, cap) =>
+        val a = a0.toSet
+        val b = b0.toSet
+        Normalize.overlap(a, b) == a.intersect(b).size &&
+          Normalize.overlap(a, b, cap) == math.min(cap, a.intersect(b).size)
+    }
+
+  property("relation normalize folds like the replace-chain formula") =
+    Prop.forAll(mixedGen) { s =>
+      // the chain is idempotent, so if the one-pass fold matches it,
+      // normalizing the pre-folded string must be a fixpoint of normalize
+      val folded = s.trim.toLowerCase.replace("-", "_").replace(" ", "_")
+        .replaceAll("_+", "_")
+      graft.kg.rules.Relations.normalize(s) ==
+        graft.kg.rules.Relations.normalize(folded)
+    }
+
+  property("digest helpers match a fresh MessageDigest") =
+    Prop.forAll(mixedGen) { s =>
+      def ref(alg: String) = {
+        val md = java.security.MessageDigest.getInstance(alg)
+        md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      }
+      Normalize.sha256Hex(s) == ref("SHA-256") &&
+        Normalize.docId(s) == "sha256:" + ref("SHA-256").take(12) &&
+        Normalize.textHash16(s) == ref("SHA-256").take(16) &&
+        Normalize.sha1Hex8(s) == ref("SHA-1").take(8)
+    }
 }
