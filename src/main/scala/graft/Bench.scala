@@ -175,7 +175,9 @@ object Bench {
     // At each level the pre-partitioned (shuffle-free) and shuffled
     // (conv_id exchange + sort) paths are timed with INTERLEAVED reps in the
     // same session; min/median/range all ship in the JSON.
-    val (base2, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 2, shuffledToo = false)
+    // 3 reps for the 2-core anchor: it denominates the headline 2→8
+    // efficiency, so a stall here distorts the gate number directly
+    val (base2, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
     val (low, shufLow, lowTriples) = kgRunPair(lowCores, transcriptsPath, reps = kgReps)
     val (high, shufHigh, highTriples) = kgRunPair(highCores, transcriptsPath, reps = kgReps)
     require(lowTriples == highTriples && baseTriples == lowTriples,
