@@ -941,6 +941,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- J5 resolves_issue autofill argmax: REAL tokenSet +
+    //     DocExtractor.resolveIssueArgmax over planted holding/issue texts
+    //     (empty-set None, all-zero ties, first-max tie-break) ---
+    "q61_resolve_issue" -> ((s, dir) => {
+      val hs = Seq(
+        "natural justice requires fair hearing notice",
+        "the tender rejection violated equality doctrine",
+        "compensation award circle rate acquisition",
+        "a an of to in",
+        "hearing notice doctrine equality")
+      val issueTexts = Seq(
+        "whether natural justice fair hearing applies",
+        "whether tender equality doctrine violated",
+        "whether acquisition compensation adequate circle rate",
+        "whether notice hearing doctrine equality sufficient")
+      val rU = udf((ht: String) => {
+        val hw = graft.kg.text.Normalize.tokenSet(ht, 4)
+        val ik = issueTexts.map(t => graft.kg.text.Normalize.tokenSet(t, 4)).toIndexedSeq
+        graft.kg.extract.DocExtractor.resolveIssueArgmax(hw, ik)
+          .map(_.toLong).getOrElse(-1L)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(hs.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("htext"))
+        .select(col("doc_id"), col("htext"), rU(col("htext")).as("best_idx"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- J6/W5 holding→outcome linkage plan: REAL outcomeLinkPlan over
+    //     planted (overlap, anchorStart, id) triples, incl. the all-zero
+    //     latest-by-anchor fallback with (start, id) tie-breaks ---
+    "q62_outcome_link" -> ((s, dir) => {
+      val planU = udf((ovs: Seq[Long], sts: Seq[Long]) =>
+        graft.kg.extract.DocExtractor.outcomeLinkPlan(
+          ovs.indices.map(j => (ovs(j).toInt, sts(j).toInt, "h" + (j + 1)))))
+      val js = sequence(lit(0), lit(2))
+      val ovs = transform(js, j =>
+        when(col("doc_id") % 4 === 0, lit(0L)).otherwise((col("doc_id") * (j + 1)) % 3))
+      val sts = transform(js, j => ((col("doc_id") + j) % 3) * 10)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(planU(ovs, sts)).as(Seq("j", "rel")))
+        .select(col("doc_id"), col("j").cast("long").as("j"), col("rel"))
+        .orderBy(col("doc_id"), col("j"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1261,6 +1307,61 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q61_resolve_issue" ->
+      // mirrors stage-4 autofill: \w{4,} token sets (no stopword filter),
+      // per-issue overlap, first-max argmax (strict '>'), -1 when the
+      // holding keyword set is empty
+      """WITH planted AS (
+           SELECT doc_id,
+             (['natural justice requires fair hearing notice',
+               'the tender rejection violated equality doctrine',
+               'compensation award circle rate acquisition',
+               'a an of to in',
+               'hearing notice doctrine equality'])[CAST(doc_id % 5 AS INT) + 1] AS htext
+           FROM documents),
+         tok AS (
+           SELECT doc_id, htext,
+             list_distinct(list_filter(string_split_regex(lower(htext), '\W+'),
+               x -> len(x) >= 4)) AS hset
+           FROM planted),
+         iss AS (
+           SELECT [
+             list_distinct(list_filter(string_split_regex('whether natural justice fair hearing applies', '\W+'), x -> len(x) >= 4)),
+             list_distinct(list_filter(string_split_regex('whether tender equality doctrine violated', '\W+'), x -> len(x) >= 4)),
+             list_distinct(list_filter(string_split_regex('whether acquisition compensation adequate circle rate', '\W+'), x -> len(x) >= 4)),
+             list_distinct(list_filter(string_split_regex('whether notice hearing doctrine equality sufficient', '\W+'), x -> len(x) >= 4))] AS isets),
+         ov AS (
+           SELECT doc_id, htext, hset,
+             [len(list_intersect(hset, i)) for i in isets] AS ovs
+           FROM tok, iss)
+         SELECT doc_id, htext,
+           CASE WHEN len(hset) = 0 THEN -1
+                ELSE list_position(ovs, list_max(ovs)) - 1 END AS best_idx
+         FROM ov ORDER BY doc_id""",
+
+    "q62_outcome_link" ->
+      // mirrors outcomeLinkPlan: overlap >= 1 → determines (else
+      // contributes_to), unless ALL overlaps are zero — then only the
+      // latest-by-(anchorStart, id) holding determines
+      """WITH js AS (
+           SELECT doc_id, unnest(generate_series(0, 2)) AS j FROM documents),
+         rows_ AS (
+           SELECT doc_id, j,
+             CASE WHEN doc_id % 4 = 0 THEN 0 ELSE (doc_id * (j + 1)) % 3 END AS ov,
+             ((doc_id + j) % 3) * 10 AS st,
+             'h' || CAST(j + 1 AS VARCHAR) AS id
+           FROM js),
+         flagged AS (
+           SELECT doc_id, j, ov, st, id,
+             max(ov) OVER (PARTITION BY doc_id) = 0 AS allzero,
+             row_number() OVER (PARTITION BY doc_id ORDER BY st DESC, id DESC) AS rk
+           FROM rows_)
+         SELECT doc_id, j,
+           CASE WHEN allzero THEN (CASE WHEN rk = 1 THEN 'determines' ELSE 'contributes_to' END)
+                WHEN ov >= 1 THEN 'determines'
+                ELSE 'contributes_to' END AS rel
+         FROM flagged ORDER BY doc_id, j""",
 
     "q60_contains_phrase" ->
       // mirrors Normalize.containsPhrase: the plain path lowers with Java

@@ -148,6 +148,30 @@ object DocExtractor {
     turns.map(t => (t._1, Option(t._2).getOrElse("")))
       .sortBy(identity).map(_._2).mkString("\n")
 
+  /** Stage-4 resolves_issue argmax (extractor.py:4587-4628): overlap of the
+    * holding's \w{4,} keyword set with each issue's, stable tie-break on
+    * issue order (the reference iterates in extraction order keeping strict
+    * '>'), None when the holding keyword set is empty. Public so the oracle
+    * harness drives the REAL operator on planted keyword sets. */
+  def resolveIssueArgmax(hw: Set[String], issueKw: IndexedSeq[Set[String]]): Option[Int] =
+    if (hw.isEmpty || issueKw.isEmpty) None
+    else Some(issueKw.indices.maxBy(i => (Normalize.overlap(issueKw(i), hw), -i)))
+
+  /** Holding→outcome linkage plan (extractor.py:4119-4191): per ratio
+    * holding, relation "determines" (critical, strong) when its keyword
+    * overlap with the outcome is ≥ 1, else "contributes_to" — unless ALL
+    * overlaps are zero, in which case only the latest-by-anchor holding
+    * (max (anchorStart, id)) gets "determines". Returns the relation per
+    * input position. Public for the oracle harness. */
+  def outcomeLinkPlan(scored: Seq[(Int, Int, String)]): Seq[String] = { // (overlap, anchorStart, id)
+    if (scored.isEmpty) Nil
+    else if (scored.forall(_._1 == 0)) {
+      val best = scored.maxBy { case (_, start, id) => (start, id) }
+      scored.map(s => if (s._3 == best._3) "determines" else "contributes_to")
+    } else
+      scored.map(s => if (s._1 >= 1) "determines" else "contributes_to")
+  }
+
   def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
     Anchor(doc.docId, seg.startChar, seg.endChar,
       Normalize.textHash16(doc.fullText.substring(seg.startChar, seg.endChar)),
@@ -383,16 +407,13 @@ object DocExtractor {
         // \b\w{4,}\b equivalent via the shared scanner (extractor.py:4601)
         Normalize.tokenSet(combined, 4)
       })
+      val issueKw = issues.map(kwBilingual)
       holdings =
         if (issues.size == 1) holdings.map(_.copy(resolvesIssue = issues.head.id))
         else holdings.map { h =>
-          val hw = kwBilingual(h)
-          if (hw.isEmpty) h
-          else {
-            // argmax overlap; stable tie-break on issue order (reference
-            // iterates in extraction order and keeps strict '>')
-            val best = issues.maxBy(i => (Normalize.overlap(kwBilingual(i), hw), -issues.indexOf(i)))
-            h.copy(resolvesIssue = best.id)
+          resolveIssueArgmax(kwBilingual(h), issueKw) match {
+            case Some(i) => h.copy(resolvesIssue = issues(i).id)
+            case None => h
           }
         }
     }
@@ -638,17 +659,14 @@ object DocExtractor {
         Option(o.text).getOrElse("") + " " + Option(o.anchor).map(_.surfaceText).getOrElse(""))
       val ratioHoldings = holdings.filter(_.isRatio)
       if (ratioHoldings.nonEmpty) {
-        var scored = ratioHoldings.map(h =>
+        val scored = ratioHoldings.map(h =>
           (Normalize.overlap(Normalize.keywordSet(h.text), outcomeKw), h))
-        if (scored.forall(_._1 == 0)) {
-          // fall back to latest-by-anchor holding (extractor.py:4160-4168)
-          val bestH = scored.map(_._2).maxBy(h => (h.anchor.startChar, h.id))
-          scored = scored.map { case (_, h) => (if (h.id == bestH.id) 1 else 0, h) }
-        }
-        for ((overlap, h) <- scored) {
-          val (rel, critical, strength) =
-            if (overlap >= 1) ("determines", true, "strong")
-            else ("contributes_to", false, "moderate")
+        // relation per holding incl. the all-zero latest-by-anchor fallback
+        // (extractor.py:4160-4168) — shared with the oracle harness
+        val rels = outcomeLinkPlan(scored.map { case (ov, h) => (ov, h.anchor.startChar, h.id) })
+        for (((_, h), rel) <- scored.zip(rels)) {
+          val (critical, strength) =
+            if (rel == "determines") (true, "strong") else (false, "moderate")
           val anch = Option(o.anchor).getOrElse(h.anchor)
           rawEdges += mkEdge(s"e_${h.id}_${rel}_outcome", h.id, "outcome", rel,
             if (anch != null) "high" else "inferred", strength, critical, anch,
