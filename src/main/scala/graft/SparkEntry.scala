@@ -987,6 +987,39 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("j"))
     }),
 
+    // --- C3/W4 edge dedup winners: the REAL DocExtractor.dedupeEdges
+    //     (group by (source, target, relation), keep max (confidenceRank,
+    //     id), deterministic output order) over planted edge rows with
+    //     colliding keys, rank ties, and an unknown confidence value ---
+    "q63_edge_dedup" -> ((s, dir) => {
+      val confs = Seq("high", "medium", "low", "inferred", "bogus")
+      val dedupU = udf((docId: Long) => {
+        val rows = (0 until 6).map { j =>
+          graft.kg.model.EdgeRow(
+            convId = docId.toString,
+            id = "e" + j,
+            source = "f" + ((docId + j) % 2),
+            target = "c" + (j % 2),
+            relation = if ((docId + j) % 2 == 0) "supports" else "triggers",
+            confidence = confs(((docId * 7 + j) % 5).toInt),
+            strength = "strong", isCritical = false,
+            supportGroupIds = Nil, explanation = null, anchor = null,
+            method = "rule", repairNote = null)
+        }
+        graft.kg.extract.DocExtractor.dedupeEdges(rows)
+          .map(e => s"${e.id}:${e.source}:${e.target}:${e.relation}:${e.confidence}")
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), posexplode(dedupU(col("doc_id"))).as(Seq("rk", "kept")))
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          split(col("kept"), ":").getItem(0).as("id"),
+          split(col("kept"), ":").getItem(1).as("source"),
+          split(col("kept"), ":").getItem(2).as("target"),
+          split(col("kept"), ":").getItem(3).as("relation"),
+          split(col("kept"), ":").getItem(4).as("confidence"))
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1307,6 +1340,34 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q63_edge_dedup" ->
+      // mirrors dedupeEdges: per (source, target, relation) keep the row
+      // maximizing (confidence rank, id) — rank ties break on the LARGER
+      // id, unknown confidence ranks 0 — then order by (s, t, rel, id)
+      """WITH js AS (
+           SELECT doc_id, unnest(generate_series(0, 5)) AS j FROM documents),
+         rows_ AS (
+           SELECT doc_id, j,
+             'e' || CAST(j AS VARCHAR) AS id,
+             'f' || CAST((doc_id + j) % 2 AS VARCHAR) AS source,
+             'c' || CAST(j % 2 AS VARCHAR) AS target,
+             CASE WHEN (doc_id + j) % 2 = 0 THEN 'supports' ELSE 'triggers' END AS relation,
+             (['high','medium','low','inferred','bogus'])[CAST((doc_id*7 + j) % 5 AS INT) + 1] AS confidence
+           FROM js),
+         ranked AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY doc_id, source, target, relation
+               ORDER BY (CASE confidence WHEN 'high' THEN 4 WHEN 'medium' THEN 3
+                 WHEN 'low' THEN 2 WHEN 'inferred' THEN 1 ELSE 0 END) DESC, id DESC) AS w
+           FROM rows_),
+         kept AS (
+           SELECT doc_id, id, source, target, relation, confidence,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY source, target, relation, id) - 1 AS rk
+           FROM ranked WHERE w = 1)
+         SELECT doc_id, rk, id, source, target, relation, confidence
+         FROM kept ORDER BY doc_id, rk""",
 
     "q61_resolve_issue" ->
       // mirrors stage-4 autofill: \w{4,} token sets (no stopword filter),

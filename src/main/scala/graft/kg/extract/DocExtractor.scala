@@ -172,6 +172,18 @@ object DocExtractor {
       scored.map(s => if (s._1 >= 1) "determines" else "contributes_to")
   }
 
+  /** Edge dedup by (source, target, relation): keep the best
+    * (confidenceRank, id) witness per key, then deterministic output order
+    * (extractor.py:4026-4049). Public so the oracle harness drives the
+    * REAL operator on planted edge rows. */
+  def dedupeEdges(edges: scala.collection.Seq[EdgeRow]): Vector[EdgeRow] =
+    edges.groupBy(e => (e.source, e.target, e.relation))
+      .map { case (_, group) =>
+        group.maxBy(e => (Relations.ConfidenceRank.getOrElse(e.confidence, 0), e.id))
+      }
+      .toVector
+      .sortBy(e => (e.source, e.target, e.relation, e.id))
+
   def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
     Anchor(doc.docId, seg.startChar, seg.endChar,
       Normalize.textHash16(doc.fullText.substring(seg.startChar, seg.endChar)),
@@ -694,13 +706,7 @@ object DocExtractor {
     }
 
     // dedupe by (source, target, relation), keep best confidence, stable sort
-    val dedupedPreRepair: Vector[EdgeRow] = repairedEdges
-      .groupBy(e => (e.source, e.target, e.relation))
-      .map { case (_, group) =>
-        group.maxBy(e => (Relations.ConfidenceRank.getOrElse(e.confidence, 0), e.id))
-      }
-      .toVector
-      .sortBy(e => (e.source, e.target, e.relation, e.id))
+    val dedupedPreRepair: Vector[EdgeRow] = dedupeEdges(repairedEdges)
 
     // orphan repair runs BEFORE justification sets so repaired support edges
     // feed JS/chain construction (the reference applies it post-hoc;
