@@ -1020,6 +1020,54 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
+    // --- V8/V9 graph validation: the REAL GraphAssembly.validateGraph over
+    //     planted graphs exercising every check (endpoint existence,
+    //     support-group existence/target match, confidence/anchor coherence,
+    //     JS membership, duplicate ids, anchor sanity, outcome DETERMINES);
+    //     warnings emitted unordered — the compare sorts rows, so only the
+    //     exact strings and multiplicities must match ---
+    "q64_graph_validate" -> ((s, dir) => {
+      val valU = udf((k: Long) => {
+        import graft.kg.model._
+        def node(id: String, nt: String, anchor: Anchor): Node = Node(
+          convId = k.toString, id = id, nodeType = nt, text = "t",
+          conceptId = null, kind = null, actor = null, factType = null,
+          relevance = null, isRatio = false, resolvesIssue = null,
+          disposition = null, caseName = null, citation = null,
+          citationType = null, caseYear = null, confidence = "high",
+          anchor = anchor, method = "rule")
+        val f1Anchor =
+          if (k % 2 == 0) {
+            val st = (k % 3).toInt - 1
+            Anchor("d", st, st + ((k / 3) % 2).toInt, "h", "0", "s")
+          } else null
+        val nodes = Vector(
+          node("f1", "fact", f1Anchor), node("h1", "holding", null),
+          node("o1", "outcome", null)) ++
+          (if (k % 5 == 0) Vector(node("f1", "fact", null)) else Vector.empty)
+        def edge(id: String, src: String, tgt: String, rel: String,
+                 conf: String, sg: Seq[String]): EdgeRow = EdgeRow(
+          convId = k.toString, id = id, source = src, target = tgt,
+          relation = rel, confidence = conf, strength = "strong",
+          isCritical = false, supportGroupIds = sg, explanation = null,
+          anchor = null, method = "rule", repairNote = null)
+        val confs = Seq("high", "medium", "low", "inferred")
+        val e1 = edge("e1",
+          if (k % 4 == 0) "zz" else "f1", "h1", "supports",
+          confs((k % 4).toInt),
+          (k % 3) match { case 0 => Seq("js1"); case 1 => Seq("jsX"); case _ => Nil })
+        val e2 = edge("e2", "h1", "o1",
+          if (k % 2 == 0) "determines" else "supports", "low", Nil)
+        val edges = Vector(e1, e2) ++ (if (k % 7 == 0) Vector(e1) else Vector.empty)
+        val js = Vector(JustificationSetRow(k.toString, "js1",
+          if (k % 6 < 3) "h1" else "qq", "and", "L", isPrimary = false, "high"))
+        graft.kg.extract.GraphAssembly.validateGraph(nodes, edges, js)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(valU(col("doc_id"))).as("warning"))
+        .orderBy(col("doc_id"), col("warning"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1340,6 +1388,52 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q64_graph_validate" ->
+      // mirrors validateGraph check-for-check with the exact warning
+      // strings; the e1 duplicate copy doubles its edge-loop warnings
+      // (multiplicity expanded via generate_series), row order free (the
+      // compare sorts)
+      """WITH d AS (
+           SELECT doc_id AS k, CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS m
+           FROM documents),
+         w AS (
+           SELECT k, 'Edge e1: source ''zz'' not found' AS warning, m AS cnt
+           FROM d WHERE k % 4 = 0
+           UNION ALL
+           SELECT k, 'Edge e1: target ''h1'' doesn''t match justification set ''js1'' target ''qq''', m
+           FROM d WHERE k % 3 = 0 AND k % 6 >= 3
+           UNION ALL
+           SELECT k, 'Edge e1: support_group_id ''jsX'' not found', m
+           FROM d WHERE k % 3 = 1
+           UNION ALL
+           SELECT k, 'Edge e1: HIGH/MEDIUM confidence requires anchor', m
+           FROM d WHERE k % 4 IN (0, 1)
+           UNION ALL
+           SELECT k, 'Edge e1: INFERRED confidence requires explanation', m
+           FROM d WHERE k % 4 = 3
+           UNION ALL
+           SELECT k, 'JustificationSet js1: target ''qq'' not found', 1
+           FROM d WHERE k % 6 >= 3
+           UNION ALL
+           SELECT k, 'JustificationSet js1: no edges belong to this set', 1
+           FROM d WHERE k % 3 <> 0
+           UNION ALL
+           SELECT k, 'Duplicate node ID: ''f1''', 1 FROM d WHERE k % 5 = 0
+           UNION ALL
+           SELECT k, 'Duplicate edge ID: ''e1''', 1 FROM d WHERE k % 7 = 0
+           UNION ALL
+           SELECT k, 'Node f1: anchor start_char < 0', 1
+           FROM d WHERE k % 2 = 0 AND k % 3 = 0
+           UNION ALL
+           SELECT k, 'Node f1: anchor end_char <= start_char', 1
+           FROM d WHERE k % 2 = 0 AND (k // 3) % 2 = 0
+           UNION ALL
+           SELECT k, 'Outcome exists but no DETERMINES edge points to it', 1
+           FROM d WHERE k % 2 = 1),
+         sel AS (
+           SELECT k, warning, unnest(generate_series(1, cnt)) AS c FROM w)
+         SELECT k AS doc_id, warning FROM sel ORDER BY doc_id, warning""",
 
     "q63_edge_dedup" ->
       // mirrors dedupeEdges: per (source, target, relation) keep the row
