@@ -1068,6 +1068,42 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("warning"))
     }),
 
+    // --- J4 requirement satisfaction: REAL keywordSet + looksNegative +
+    //     DocExtractor.satisfyRequirement over planted requirement/fact
+    //     texts (negation penalty, threshold, first-strict-max tie-break) ---
+    "q65_requirement_sat" -> ((s, dir) => {
+      val reqs = Seq(
+        "notice order termination",
+        "enquiry notice",
+        "compensation acquisition award",
+        "reasons recorded tender")
+      val ftexts = Seq(
+        "notice served upon petitioner before termination order",
+        "no enquiry conducted and notice denied before order",
+        "compensation deposited after acquisition award",
+        "tender rejected without reasons being recorded")
+      val satU = udf((req: String, fts: Seq[String]) => {
+        val reqKw = graft.kg.text.Normalize.keywordSet(req)
+        val cands = fts.zipWithIndex.map { case (t, i) =>
+          ("f" + (i + 1), graft.kg.text.Normalize.keywordSet(t),
+            graft.kg.text.Normalize.looksNegative(t))
+        }
+        graft.kg.extract.DocExtractor.satisfyRequirement(reqKw, cands).getOrElse("")
+      })
+      val fApick = element_at(array(ftexts.map(lit): _*), (col("doc_id") % 4).cast("int") + 1)
+      val fBpick = element_at(array(ftexts.map(lit): _*),
+        (floor(col("doc_id") / 5) % 4).cast("int") + 1)
+      val fCpick = element_at(array(ftexts.map(lit): _*),
+        (floor(col("doc_id") / 11) % 4).cast("int") + 1)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(reqs.map(lit): _*),
+            (floor(col("doc_id") / 3) % 4).cast("int") + 1).as("req"),
+          array(fApick, fBpick, fCpick).as("fts"))
+        .select(col("doc_id"), col("req"), satU(col("req"), col("fts")).as("best_fact"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1388,6 +1424,52 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q65_requirement_sat" ->
+      // mirrors satisfyRequirement: \w{4,} token sets (stopword removal is
+      // a no-op here — the planted requirement terms contain none, and fact
+      // stopwords can't intersect them), the 6 negation cues, -2 penalty
+      // floored at 0, first-strict-max argmax, '' below score 1
+      """WITH planted AS (
+           SELECT doc_id,
+             (['notice order termination','enquiry notice',
+               'compensation acquisition award','reasons recorded tender'])[CAST((doc_id // 3) % 4 AS INT) + 1] AS req,
+             (['notice served upon petitioner before termination order',
+               'no enquiry conducted and notice denied before order',
+               'compensation deposited after acquisition award',
+               'tender rejected without reasons being recorded'])[CAST(doc_id % 4 AS INT) + 1] AS t1,
+             (['notice served upon petitioner before termination order',
+               'no enquiry conducted and notice denied before order',
+               'compensation deposited after acquisition award',
+               'tender rejected without reasons being recorded'])[CAST((doc_id // 5) % 4 AS INT) + 1] AS t2,
+             (['notice served upon petitioner before termination order',
+               'no enquiry conducted and notice denied before order',
+               'compensation deposited after acquisition award',
+               'tender rejected without reasons being recorded'])[CAST((doc_id // 11) % 4 AS INT) + 1] AS t3
+           FROM documents),
+         tok AS (
+           SELECT doc_id, req,
+             list_distinct(list_filter(string_split_regex(lower(req), '\W+'), x -> len(x) >= 4)) AS rset,
+             [list_distinct(list_filter(string_split_regex(lower(t1), '\W+'), x -> len(x) >= 4)),
+              list_distinct(list_filter(string_split_regex(lower(t2), '\W+'), x -> len(x) >= 4)),
+              list_distinct(list_filter(string_split_regex(lower(t3), '\W+'), x -> len(x) >= 4))] AS fsets,
+             [lower(t1) LIKE '%without %' OR lower(t1) LIKE '%no %' OR lower(t1) LIKE '%not %'
+                OR lower(t1) LIKE '%denied%' OR lower(t1) LIKE '%refused%' OR lower(t1) LIKE '%failed to%',
+              lower(t2) LIKE '%without %' OR lower(t2) LIKE '%no %' OR lower(t2) LIKE '%not %'
+                OR lower(t2) LIKE '%denied%' OR lower(t2) LIKE '%refused%' OR lower(t2) LIKE '%failed to%',
+              lower(t3) LIKE '%without %' OR lower(t3) LIKE '%no %' OR lower(t3) LIKE '%not %'
+                OR lower(t3) LIKE '%denied%' OR lower(t3) LIKE '%refused%' OR lower(t3) LIKE '%failed to%'] AS negs
+           FROM planted),
+         scored AS (
+           SELECT doc_id, req,
+             [CASE WHEN negs[i] THEN greatest(len(list_intersect(rset, fsets[i])) - 2, 0)
+                   ELSE len(list_intersect(rset, fsets[i])) END
+              for i in generate_series(1, 3)] AS ovs
+           FROM tok)
+         SELECT doc_id, req,
+           CASE WHEN list_max(ovs) < 1 THEN ''
+                ELSE 'f' || CAST(list_position(ovs, list_max(ovs)) AS VARCHAR) END AS best_fact
+         FROM scored ORDER BY doc_id""",
 
     "q64_graph_validate" ->
       // mirrors validateGraph check-for-check with the exact warning

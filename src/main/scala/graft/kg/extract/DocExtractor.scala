@@ -184,6 +184,24 @@ object DocExtractor {
       .toVector
       .sortBy(e => (e.source, e.target, e.relation, e.id))
 
+  /** Stage-5 requirement satisfaction argmax (extractor.py:1600-1629):
+    * score each candidate fact (id, keywordSet, looksNegative) by keyword
+    * overlap with the requirement's set, −2 negation penalty floored at 0,
+    * FIRST strict-'>' argmax, None below score 1. Public for the oracle
+    * harness. */
+  def satisfyRequirement(
+      reqKw: Set[String],
+      facts: Seq[(String, Set[String], Boolean)]): Option[String] = {
+    var bestFact: String = null
+    var bestScore = 0
+    for ((fid, fkw, neg) <- facts) {
+      var s = Normalize.overlap(reqKw, fkw)
+      if (neg) s = math.max(0, s - 2)
+      if (s > bestScore) { bestScore = s; bestFact = fid }
+    }
+    if (bestFact != null && bestScore >= 1) Some(bestFact) else None
+  }
+
   def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
     Anchor(doc.docId, seg.startChar, seg.endChar,
       Normalize.textHash16(doc.fullText.substring(seg.startChar, seg.endChar)),
@@ -551,20 +569,14 @@ object DocExtractor {
          if cl.requires.nonEmpty && cl.members("fact").nonEmpty) {
       val reqKwSets = ontology.concepts.get(cid).map(_.requiresKeywordSets.toMap)
         .getOrElse(Map.empty)
+      val factCands = cl.members("fact").toList.map { fid =>
+        val f = factById(fid)
+        (fid, mtOf(f.text).keywords, Normalize.looksNegative(f.text))
+      }
       for (req <- cl.requires) {
         val reqKw = reqKwSets.getOrElse(req, Normalize.keywordSet(req))
-        var bestFact: String = null
-        var bestScore = 0
-        for (fid <- cl.members("fact")) {
-          val f = factById(fid)
-          var s = Normalize.overlap(reqKw, mtOf(f.text).keywords)
-          if (Normalize.looksNegative(f.text)) s = math.max(0, s - 2)
-          if (s > bestScore) { bestScore = s; bestFact = fid }
-        }
-        if (bestFact != null && bestScore >= 1)
-          requirementRows += RequirementRow(convId, cid, req, bestFact)
-        else
-          requirementRows += RequirementRow(convId, cid, req, null)
+        requirementRows += RequirementRow(convId, cid, req,
+          satisfyRequirement(reqKw, factCands).orNull)
       }
     }
 
