@@ -1104,6 +1104,38 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- M5/M6 mention scan: the REAL PhraseAutomaton (Aho-Corasick → DFA)
+    //     over planted texts with overlapping/suffix-sharing phrases (the
+    //     fail-chain output merges are the point: "justice" and "ice" must
+    //     fire inside "natural justice"), mirrored by brute-force
+    //     every-offset substring comparison ---
+    "q66_automaton_scan" -> ((s, dir) => {
+      val phrases = Seq("natural justice", "justice", "audi alteram partem",
+        "due process", "process", "ice")
+      val texts = Seq(
+        "natural justice and due process demand audi alteram partem",
+        "process of justice is natural",
+        "the thin ice near due process",
+        "audi alteram partem audi alteram partem",
+        "nothing matches in this sentence")
+      val scanU = udf((t: String) => {
+        val pa = graft.kg.text.PhraseAutomaton.build(phrases.toIndexedSeq)
+        val hits = scala.collection.mutable.ArrayBuffer.empty[String]
+        pa.scan(t, new graft.kg.text.PhraseAutomaton.Sink {
+          def hit(pid: Int, start: Int): Unit = hits += s"$pid:$start"
+        })
+        hits.toSeq
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(texts.map(lit): _*), (col("doc_id") % 5).cast("int") + 1).as("t"))
+        .select(col("doc_id"), explode(scanU(col("t"))).as("hit"))
+        .select(col("doc_id"),
+          split(col("hit"), ":").getItem(0).cast("long").as("pid"),
+          split(col("hit"), ":").getItem(1).cast("long").as("start"))
+        .orderBy(col("doc_id"), col("pid"), col("start"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -1424,6 +1456,32 @@ object SparkEntry {
                  x -> x <> ''), '|')
            END AS phrases
          FROM q ORDER BY doc_id""",
+
+    "q66_automaton_scan" ->
+      // mirrors the automaton scan by brute force: every offset of every
+      // phrase via substring comparison — one pass of the DFA must find
+      // exactly the same (phrase, start) multiset, incl. suffix-shared
+      // hits at the same end position
+      """WITH planted AS (
+           SELECT doc_id,
+             (['natural justice and due process demand audi alteram partem',
+               'process of justice is natural',
+               'the thin ice near due process',
+               'audi alteram partem audi alteram partem',
+               'nothing matches in this sentence'])[CAST(doc_id % 5 AS INT) + 1] AS t
+           FROM documents),
+         ph AS (
+           SELECT * FROM (VALUES
+             (0, 'natural justice'), (1, 'justice'), (2, 'audi alteram partem'),
+             (3, 'due process'), (4, 'process'), (5, 'ice')) v(pid, p)),
+         occ AS (
+           SELECT doc_id, pid,
+             [i - 1 for i in generate_series(1, len(t) - len(p) + 1)
+              if substr(t, CAST(i AS INT), len(p)) = p] AS starts
+           FROM planted, ph)
+         SELECT doc_id, CAST(pid AS BIGINT) AS pid,
+           CAST(unnest(starts) AS BIGINT) AS start
+         FROM occ ORDER BY doc_id, pid, start""",
 
     "q65_requirement_sat" ->
       // mirrors satisfyRequirement: \w{4,} token sets (stopword removal is
