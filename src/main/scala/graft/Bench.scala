@@ -175,13 +175,20 @@ object Bench {
     // At each level the pre-partitioned (shuffle-free) and shuffled
     // (conv_id exchange + sort) paths are timed with INTERLEAVED reps in the
     // same session; min/median/range all ship in the JSON.
-    // 3 reps for the 2-core anchor: it denominates the headline 2→8
-    // efficiency, so a stall here distorts the gate number directly
-    val (base2, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
+    // The 2-core anchor denominates the headline 2→8 efficiency, so a VM
+    // stall here poisons the one summary field a dashboard scrapes (r5_run4
+    // shipped 1.049 that way: all 3 anchor reps landed in one stall window).
+    // Stall-proofing: TWO anchor sessions separated in time by the low/high
+    // phases (several minutes apart); the headline uses the min over BOTH, so
+    // a single stall window cannot cover every anchor rep.
+    val (base2a, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
     val (low, shufLow, lowTriples) = kgRunPair(lowCores, transcriptsPath, reps = kgReps)
     val (high, shufHigh, highTriples) = kgRunPair(highCores, transcriptsPath, reps = kgReps)
-    require(lowTriples == highTriples && baseTriples == lowTriples,
-      s"parallelism changed results: $baseTriples/$lowTriples/$highTriples")
+    val (base2b, _, baseTriples2) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
+    val base2 = PathStats(base2a.secs ++ base2b.secs)
+    require(lowTriples == highTriples && baseTriples == lowTriples
+        && baseTriples2 == baseTriples,
+      s"parallelism changed results: $baseTriples/$lowTriples/$highTriples/$baseTriples2")
     val base2Tps = baseTriples / base2.min
     val lowTps = lowTriples / low.min
     val highTps = highTriples / high.min
@@ -199,7 +206,9 @@ object Bench {
     val matTriples = matRuns.head._2
     val kg =
       s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
-        s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)}},""" +
+        s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)},""" +
+        s""""reps_session1":[${base2a.secs.map(f).mkString(",")}],""" +
+        s""""reps_session2":[${base2b.secs.map(f).mkString(",")}]},""" +
         s""""low":{"cores":$lowCores,"sec":${f(low.min)},"triples_per_sec":${f(lowTps)}},""" +
         s""""high":{"cores":$highCores,"sec":${f(high.min)},"triples_per_sec":${f(highTps)}},""" +
         s""""scaling_efficiency":${f(eff2to8)},""" +
@@ -270,6 +279,10 @@ object Bench {
     spark.stop()
 
     val ok = detail.collect { case (n, reps, _) if reps.nonEmpty => n -> reps.min }
+    // queries with ZERO successful reps: named explicitly next to the total,
+    // so totals from runs with different failure sets are never compared as
+    // like-for-like (the per-query err field alone buried that)
+    val failed = detail.collect { case (n, reps, _) if reps.isEmpty => n }
     val qs = (ok ++ List(
         "kg_corpus_extract" -> extractOnceSec, "tfidf_index_build" -> tfidfIdx._1))
       .map { case (k, v) => "\"" + k + "\":" + f(v) }
@@ -283,9 +296,11 @@ object Bench {
 
     val total = ok.map(_._2).sum + extractOnceSec + tfidfIdx._1 +
       base2.min + low.min + high.min + matSec
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""query_detail":$qDetail,"sf":"$sfDir","kg":$kg}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +
+        s""""n_failed_queries":${failed.size},"failed_queries":$failedJson,""" +
+        s""""queries":$qs,"query_detail":$qDetail,"sf":"$sfDir","kg":$kg}"""
     // full record also lands on disk so a truncated stdout capture is
     // recoverable without a re-run
     try {

@@ -20,11 +20,6 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO's default ImageInputStream spills to temp FILES even for
-  // in-memory byte arrays — at executor fan-out that is disk churn for
-  // nothing; keep decode fully in memory
-  javax.imageio.ImageIO.setUseCache(false)
-
   final case class MediaRow(
       media_id: Long,
       kind: String,           // image | audio | video
@@ -49,7 +44,17 @@ object Multimodal {
     * Returns None when ImageIO cannot decode the payload. */
   def imageGrid(payload: Array[Byte]): Option[(Int, Int, Array[Double])] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // ImageIO's default stream wrapper spills to temp FILES even for
+      // in-memory byte arrays — at executor fan-out that is disk churn for
+      // nothing. A MemoryCacheImageInputStream keeps the decode fully in
+      // memory WITHOUT flipping the JVM-global ImageIO.setUseCache flag
+      // (which would silently change unrelated ImageIO users in the JVM).
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      // ImageIO.read(ImageInputStream) closes the stream itself (JDK source:
+      // finally { reader.dispose(); stream.close(); }) — a second close here
+      // would throw and masquerade as an undecodable payload
+      val img = javax.imageio.ImageIO.read(iis)
       if (img == null) None
       else {
         val w = img.getWidth
@@ -87,22 +92,27 @@ object Multimodal {
     * decoded `imageGrid` equals pure arithmetic over the formula — which a
     * SQL oracle can mirror without touching image bytes. */
   def plantedImage(id: Long, format: String = "png"): Array[Byte] = {
-    val w = (8 + id * 3 % 17).toInt
-    val h = (8 + id * 5 % 13).toInt
+    // floorMod keeps dims >= 8 and gray in [0, 255] for negative ids too
+    // (plain % would yield non-positive dims and BufferedImage throws)
+    val w = (8 + Math.floorMod(id * 3, 17)).toInt
+    val h = (8 + Math.floorMod(id * 5, 13)).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = Math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
         img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, bos)
+    // explicit in-memory output stream (see imageGrid: no global useCache flip)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { javax.imageio.ImageIO.write(img, format, ios); ios.flush() }
+    finally ios.close()
     bos.toByteArray
   }
 

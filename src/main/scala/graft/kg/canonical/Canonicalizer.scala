@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   * Hot entities (famous precedents appearing in most conversations) make the
   * component label and the final groupBy skewed — mitigated by AQE skew-join
   * handling plus the two-phase (salted) aggregation in `entityStats`.
+  *
+  * CONTRACT — one live invocation per session: each top-level call
+  * (`canonicalTriples` / `canonicalPrecedents` / `entityStats`) unpersists
+  * the caches backing the PREVIOUS invocation's returned frame. Run each
+  * returned DataFrame's action(s) to completion before the next invocation
+  * on the same session; a frame held across invocations stays correct but
+  * silently recomputes its lineage (no cache) when acted on later. Do not
+  * interleave concurrent invocations on one session.
   */
 object Canonicalizer {
 
