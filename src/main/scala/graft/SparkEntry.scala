@@ -1136,6 +1136,225 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pid"), col("start"))
     }),
 
+    // --- M2 ECHR citation grammar (citation_preprocess.py:122-183): the
+    //     REAL Citations scan (full-text path incl. keep-longest overlap
+    //     dedup) over deterministically planted ECHR citations — application
+    //     numbers, bare "nos. N/YY", Series A, ECHR reports, "Name v. Name".
+    //     The salad base text is lowercase and digit-free, so no ECHR
+    //     pattern can fire on it (Name-v-Name requires real uppercase: the
+    //     case-v pattern is compiled WITHOUT CASE_INSENSITIVE); the DuckDB
+    //     mirror replays each planted family with the same regex. The bare
+    //     "nos." sub-hit inside every application-number span is dropped by
+    //     the keep-longest dedup, so the mirror emits bare hits only from
+    //     the "see nos." plants (disjoint by construction). ---
+    "q67_echr_citations" -> ((s, dir) => {
+      val n1 = Seq("Kudla", "Osman", "Airey", "Soering", "Tyrer")
+      val n2 = Seq("Poland", "Turkey", "Ireland", "Germany", "France")
+      val idx = (col("doc_id") % 5).cast("int") + 1
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" Application no. "), lit(10000) + col("doc_id") % 50000,
+              lit("/"), lit(90) + col("doc_id") % 10)).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" see nos. "), lit(1000) + col("doc_id") % 9000,
+              lit("/"), lit(10) + col("doc_id") % 90)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" Series A no. "), lit(1) + col("doc_id") % 400)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" ECHR "), lit(1999) + col("doc_id") % 20)).otherwise(lit("")),
+          when(col("doc_id") % 6 === 1,
+            concat(lit(" "), element_at(array(n1.map(lit): _*), idx),
+              lit(" v. "), element_at(array(n2.map(lit): _*), idx))).otherwise(lit(""))).as("text"))
+      graft.kg.rules.CitationManifest.scan(s, planted, "doc_id", "text", "echr")
+        .orderBy(col("doc_id"), col("citation_type"), col("citation"))
+    }),
+
+    // --- M3 Turkish citation grammar (citation_preprocess.py:186-261): the
+    //     REAL Citations scan (digit-window path + overlap dedup) over
+    //     planted AYM E./K. pairs, "NNNN sayılı" statutes, başvuru numbers,
+    //     Yargıtay chamber citations and Resmî Gazete dates. Every TR
+    //     pattern needs a digit or a Turkish literal — the salad base text
+    //     has neither. tr_esas / tr_karar sub-hits inside the AYM and
+    //     Yargıtay spans are dropped by keep-longest dedup (mirrored by
+    //     construction: the mirror emits only the enclosing spans). ---
+    "q68_turkish_citations" -> ((s, dir) => {
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" AYM, E. "), lit(2010) + col("doc_id") % 10,
+              lit("/"), lit(1) + col("doc_id") % 200,
+              lit(", K. "), lit(2011) + col("doc_id") % 10,
+              lit("/"), lit(1) + col("doc_id") % 300)).otherwise(lit("")),
+          when(col("doc_id") % 4 === 1,
+            concat(lit(" "), lit(1000) + col("doc_id") % 9000,
+              lit(" sayılı Kanun"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 2,
+            concat(lit(" Başvuru no. "), lit(2014) + col("doc_id") % 6,
+              lit("/"), lit(1) + col("doc_id") % 999)).otherwise(lit("")),
+          when(col("doc_id") % 7 === 3,
+            concat(lit(" Yargıtay "), lit(1) + col("doc_id") % 23,
+              lit(". Ceza Dairesi, E. "), lit(2005) + col("doc_id") % 15,
+              lit("/"), lit(1) + col("doc_id") % 500)).otherwise(lit("")),
+          when(col("doc_id") % 6 === 4,
+            concat(lit(" R.G. "), lit(1) + col("doc_id") % 28,
+              lit("."), lit(1) + col("doc_id") % 12,
+              lit("."), lit(1995) + col("doc_id") % 20)).otherwise(lit(""))).as("text"))
+      graft.kg.rules.CitationManifest.scan(s, planted, "doc_id", "text", "tr")
+        .orderBy(col("doc_id"), col("citation_type"), col("citation"))
+    }),
+
+    // --- T2/T3 segmentation offsets: the REAL Segmenter over documents
+    //     assembled from closed-form sentence blocks (word + " pad"×k + "."
+    //     joined by " " inside a paragraph, paragraphs joined by "\n\n"), so
+    //     every (start_char, end_char, para_idx, sent_idx, text) is pure
+    //     doc_id arithmetic the DuckDB mirror re-derives with window sums.
+    //     Sentence end_char includes the inter-sentence separator space
+    //     (split point = end of the whitespace run) except for the last
+    //     sentence of a paragraph — the mirror reproduces that contract. ---
+    "q69_segment_offsets" -> ((s, dir) => {
+      val segU = udf((docId: Long) => {
+        val words = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon")
+        val nP = (docId % 3).toInt + 1
+        val sb = new StringBuilder
+        var p = 0
+        while (p < nP) {
+          if (p > 0) sb.append("\n\n")
+          val nS = ((docId + p) % 3).toInt + 1
+          var t = 0
+          while (t < nS) {
+            if (t > 0) sb.append(' ')
+            sb.append(words(((docId + 2 * p + 3 * t) % 5).toInt))
+            var k = ((docId + p + t) % 3).toInt
+            while (k > 0) { sb.append(" pad"); k -= 1 }
+            sb.append('.')
+            t += 1
+          }
+          p += 1
+        }
+        val doc = graft.kg.text.Segmenter.segment(sb.toString, "d" + docId)
+        (doc.paragraphs ++ doc.sentences).map(seg =>
+          Seq(seg.paraIndex, seg.sentIndex, seg.startChar, seg.endChar)
+            .mkString(",") + "|" + seg.text)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(segU(col("doc_id"))).as("seg"))
+        .select(col("doc_id"),
+          split(split(col("seg"), "\\|").getItem(0), ",").getItem(0).cast("int").as("para_idx"),
+          split(split(col("seg"), "\\|").getItem(0), ",").getItem(1).cast("int").as("sent_idx"),
+          split(split(col("seg"), "\\|").getItem(0), ",").getItem(2).cast("int").as("start_char"),
+          split(split(col("seg"), "\\|").getItem(0), ",").getItem(3).cast("int").as("end_char"),
+          split(col("seg"), "\\|").getItem(1).as("seg_text"))
+        .orderBy(col("doc_id"), col("para_idx"), col("sent_idx"))
+    }),
+
+    // --- J3 cluster assignment (extractor.py:1409-1637 _assign_by_score +
+    //     the issue/holding score fallbacks): planted node texts through the
+    //     REAL DocExtractor.argmaxCluster (the function extract() itself
+    //     calls) against two shipped ontology concepts + two pseudo
+    //     clusters, at both reference thresholds (min 2 = facts/args, min 3
+    //     = issues/holdings, cycled by doc_id). The mirror replays the full
+    //     conceptMatchScoreFast formula (q34's mirror) per ontology
+    //     candidate, the keyword-overlap formula per pseudo candidate, and
+    //     the FIRST strict-'>' argmax in candidate order. ---
+    "q70_cluster_argmax" -> ((s, dir) => {
+      val texts = Seq(
+        "fair opportunity to answer was denied before the hearing",
+        "the proportionality test requires a rational nexus to a legitimate aim",
+        "speedy trial guarantee was invoked by the accused person",
+        "land acquisition compensation award challenged in appeal",
+        "completely unrelated filler words about nothing relevant here",
+        "speaking order with reasons after fair hearing notice",
+        "land acquisition compensation award with speedy trial guarantee")
+      val cands = List(
+        "DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM",
+        "DOCTRINE_PROPORTIONALITY_TEST",
+        "PSEUDO_SPEEDY_TRIAL", "PSEUDO_LAND_ACQUISITION")
+      val labels = Map(
+        "PSEUDO_SPEEDY_TRIAL" -> "speedy trial guarantee",
+        "PSEUDO_LAND_ACQUISITION" -> "land acquisition compensation award")
+      val pickU = udf((t: String, minScore: Int) =>
+        graft.kg.extract.DocExtractor.argmaxCluster(
+          graft.kg.ontology.MatchText.of(t, turkish = false),
+          cands, minScore, graft.kg.ontology.Ontology.default,
+          labels, turkish = false).orNull)
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          element_at(array(texts.map(lit): _*), (col("doc_id") % 7).cast("int") + 1).as("t"),
+          (lit(2) + col("doc_id") % 2).cast("int").as("min_score"))
+        .select(col("doc_id"), col("min_score"),
+          pickU(col("t"), col("min_score")).as("best_cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- M8 anchor construction + validate/repair (extractor.py:2619-2700
+    //     make_anchor): planted (doc, claimed-span, quote) triples through
+    //     the REAL DocExtractor.makeAnchor over the q69 closed-form document,
+    //     cycling 5 variants: valid passthrough, invalid offsets repaired
+    //     via quote alignment, invalid offsets + unfindable quote → null,
+    //     whitespace-only span (the "\n\n" separator) repaired via quote,
+    //     and null offsets with no quote → null. The mirror re-derives
+    //     offsets/hash/display from the same arithmetic (quote = first
+    //     sentence → repair lands at [0, len(s00)); display from the
+    //     segment table; hash = sha256 prefix). ---
+    "q72_anchor_repair" -> ((s, dir) => {
+      val mkU = udf((docId: Long) => {
+        val words = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon")
+        val nP = (docId % 3).toInt + 1
+        val sb = new StringBuilder
+        var p = 0
+        while (p < nP) {
+          if (p > 0) sb.append("\n\n")
+          val nS = ((docId + p) % 3).toInt + 1
+          var t = 0
+          while (t < nS) {
+            if (t > 0) sb.append(' ')
+            sb.append(words(((docId + 2 * p + 3 * t) % 5).toInt))
+            var k = ((docId + p + t) % 3).toInt
+            while (k > 0) { sb.append(" pad"); k -= 1 }
+            sb.append('.')
+            t += 1
+          }
+          p += 1
+        }
+        val doc = graft.kg.text.Segmenter.segment(sb.toString, "d" + docId)
+        val s00 = doc.sentences.head.text // sentence (0,0) == doc prefix
+        val lastSent = doc.sentences.last
+        val D = graft.kg.extract.DocExtractor
+        val res = (docId % 5) match {
+          case 0 => // valid passthrough: the last sentence's trimmed span
+            D.makeAnchor(doc, Some(lastSent.startChar),
+              Some(lastSent.startChar + lastSent.text.length))
+          case 1 => // invalid offsets, findable quote → align-repair
+            D.makeAnchor(doc, Some(0), Some(doc.fullText.length + 5),
+              quoteForAlignment = Some(s00))
+          case 2 => // invalid offsets, unfindable quote → None
+            D.makeAnchor(doc, Some(-3), Some(-1),
+              quoteForAlignment = Some("zz unfindable qq"))
+          case 3 => // whitespace-only span (the \n\n separator when P >= 2;
+            // degenerates to invalid offsets when P == 1) → quote-repair
+            val p0end = doc.paragraphs.head.endChar
+            D.makeAnchor(doc, Some(p0end), Some(p0end + 2),
+              quoteForAlignment = Some(s00))
+          case _ => // null offsets, no quote → None
+            D.makeAnchor(doc, None, None)
+        }
+        res.map(a => Seq(a.startChar, a.endChar).mkString(",") + "|" +
+          a.textHash + "|" + Option(a.displayLocation).getOrElse("?") + "|" +
+          a.surfaceText).orNull
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 5).cast("int").as("variant"),
+          mkU(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("variant"),
+          split(split(col("r"), "\\|").getItem(0), ",").getItem(0).cast("int").as("start_char"),
+          split(split(col("r"), "\\|").getItem(0), ",").getItem(1).cast("int").as("end_char"),
+          split(col("r"), "\\|").getItem(1).as("text_hash"),
+          split(col("r"), "\\|").getItem(2).as("display_loc"),
+          split(col("r"), "\\|").getItem(3).as("surface"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -2602,6 +2821,247 @@ object SparkEntry {
            + least(4, len(list_intersect(toks, ['alternatives','available','disproportionate','four','impact','least','legitimate','less','means','nexus','prongs','proportionality','rational','restrictive','rights','sensu','stricto','test'])))
            + least(4, len(list_intersect(toks, ['four','prongs']))) AS score_prop
          FROM t ORDER BY doc_id""",
+
+    "q67_echr_citations" ->
+      // ECHR grammar mirror: same planted construction, each fired pattern
+      // family replayed with its regex (RE2 \b + (?i) match the Java
+      // semantics on this ASCII+digit text). Keep-longest overlap dedup
+      // drops the bare-appno sub-hit inside every application-number span,
+      // so bare hits are emitted only from the disjoint 'see nos.' plants.
+      // Name-v-Name is CASE-SENSITIVE in the grammar (compiled without
+      // flags) — the lowercase salad base can never fire it. case_year =
+      // first \b(19|20)\d\d\b in the citation (extractYear).
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' Application no. ' || (10000 + doc_id % 50000)::VARCHAR || '/' || (90 + doc_id % 10)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' see nos. ' || (1000 + doc_id % 9000)::VARCHAR || '/' || (10 + doc_id % 90)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 4 = 0 THEN ' Series A no. ' || (1 + doc_id % 400)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' ECHR ' || (1999 + doc_id % 20)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 6 = 1 THEN ' ' || ['Kudla','Osman','Airey','Soering','Tyrer'][CAST(doc_id % 5 AS INT) + 1] || ' v. ' || ['Poland','Turkey','Ireland','Germany','France'][CAST(doc_id % 5 AS INT) + 1] ELSE '' END AS text
+           FROM documents),
+         hits AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\bapplication\s+nos?\.?\s+\d{1,6}/\d{2,4}(?:\s+and\s+\d{1,6}/\d{2,4})*')) AS citation,
+             'echr_appno' AS citation_type FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)see\s+(nos?\.?\s+\d{1,6}/\d{2,4})', 1)),
+             'echr_bare_appno' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\b(?:series\s+a\s+no\.?\s*\d+|reports?\s+(?:of\s+judgments\s+and\s+decisions\s+)?\d{4}(?:-[IVXLCDM]+)?)')),
+             'echr_series' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\bECHR\s+\d{4}(?:\s*-\s*[IVXLCDM]+)?(?:\s*\(extracts?\))?')),
+             'echr_report' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '[A-Z][A-Za-z\-]+\s+v\.?\s+(?:the\s+)?[A-Z][A-Za-z\-]+(?:\s+[A-Z][A-Za-z\-]+)*')),
+             'echr_case_v' FROM planted)
+         SELECT doc_id, trim(citation) AS citation, citation_type,
+           CAST(NULLIF(regexp_extract(citation, '\b((?:19|20)\d{2})\b', 1), '') AS INT) AS case_year
+         FROM hits
+         ORDER BY doc_id, citation_type, citation""",
+
+    "q68_turkish_citations" ->
+      // Turkish grammar mirror: same planted construction; the enclosing
+      // AYM / Yargıtay spans are emitted and their contained tr_esas /
+      // tr_karar sub-hits dropped (keep-longest dedup). Every TR pattern
+      // needs a digit or a Turkish literal — the salad base has neither, so
+      // only planted spans fire, and they are pairwise disjoint.
+      """WITH planted AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' AYM, E. ' || (2010 + doc_id % 10)::VARCHAR || '/' || (1 + doc_id % 200)::VARCHAR || ', K. ' || (2011 + doc_id % 10)::VARCHAR || '/' || (1 + doc_id % 300)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 4 = 1 THEN ' ' || (1000 + doc_id % 9000)::VARCHAR || ' sayılı Kanun' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 2 THEN ' Başvuru no. ' || (2014 + doc_id % 6)::VARCHAR || '/' || (1 + doc_id % 999)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 7 = 3 THEN ' Yargıtay ' || (1 + doc_id % 23)::VARCHAR || '. Ceza Dairesi, E. ' || (2005 + doc_id % 15)::VARCHAR || '/' || (1 + doc_id % 500)::VARCHAR ELSE '' END ||
+             CASE WHEN doc_id % 6 = 4 THEN ' R.G. ' || (1 + doc_id % 28)::VARCHAR || '.' || (1 + doc_id % 12)::VARCHAR || '.' || (1995 + doc_id % 20)::VARCHAR ELSE '' END AS text
+           FROM documents),
+         hits AS (
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\b(?:AYM|Anayasa\s+Mahkemesi)\s*[,;]?\s*E\.?\s*\d{4}/\d+\s*[,;]\s*K\.?\s*\d{4}/\d+')) AS citation,
+             'tr_aym' AS citation_type FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\b\d{3,5}\s+say[ıi]l[ıi]\s+(?:Kanun|(?:T\.?)?(?:C\.?)?K\.?|HMK|CMK|TMK|TTK|[A-ZÇĞİÖŞÜ]{2,5})')),
+             'tr_kanun' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\b(?:[Bb]a[şs]vuru\s+(?:numaras[ıi]|[Nn]o\.?))\s*[,:;]?\s*\d{4}/\d+')),
+             'tr_basvuru' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\bYarg[ıi]tay\s+(?:\d+\.\s*)?(?:Ceza|Hukuk|Daire)\s*(?:si|Dairesi)?\s*[,;]?\s*(?:E\.?\s*\d{4}/\d+)?')),
+             'tr_yargitay' FROM planted
+           UNION ALL
+           SELECT doc_id,
+             unnest(regexp_extract_all(text, '(?i)\b(?:Resm[iî]\s+Gazete|R\.?\s*G\.?)\s*[,:;]?\s*(?:tarih|say[ıi])?\s*[,:;]?\s*\d+[./]\d+[./]?\d*')),
+             'tr_resmi_gazete' FROM planted)
+         SELECT doc_id, trim(citation) AS citation, citation_type,
+           CAST(NULLIF(regexp_extract(citation, '\b((?:19|20)\d{2})\b', 1), '') AS INT) AS case_year
+         FROM hits
+         ORDER BY doc_id, citation_type, citation""",
+
+    "q69_segment_offsets" ->
+      // closed-form segmentation replay: the same doc construction (word +
+      // ' pad'×k + '.' sentences, ' ' joins, '\n\n' paragraph separators)
+      // re-derived with window sums. Sentence end_char includes the
+      // inter-sentence space except for the paragraph's last sentence
+      // (Segmenter reports the raw split span, trimmed text).
+      """WITH ps AS (
+           SELECT d.doc_id, pp.p, ss.s
+           FROM documents d,
+                (SELECT unnest([0,1,2]) AS p) pp,
+                (SELECT unnest([0,1,2]) AS s) ss
+           WHERE pp.p <= d.doc_id % 3 AND ss.s <= (d.doc_id + pp.p) % 3),
+         sen AS (
+           SELECT doc_id, p, s,
+             ['Alpha','Beta','Gamma','Delta','Epsilon'][CAST((doc_id + 2*p + 3*s) % 5 AS INT) + 1]
+               || repeat(' pad', CAST((doc_id + p + s) % 3 AS INT)) || '.' AS stext
+           FROM ps),
+         sl AS (
+           SELECT doc_id, p, s, stext, length(stext) AS slen,
+             COALESCE(sum(length(stext) + 1) OVER (PARTITION BY doc_id, p ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+             count(*) OVER (PARTITION BY doc_id, p) AS n_s
+           FROM sen),
+         pl AS (
+           SELECT doc_id, p, sum(slen) + count(*) - 1 AS plen,
+             string_agg(stext, ' ' ORDER BY s) AS ptext
+           FROM sl GROUP BY doc_id, p),
+         po AS (
+           SELECT doc_id, p, plen, ptext,
+             COALESCE(sum(plen + 2) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pstart
+           FROM pl),
+         segs AS (
+           SELECT doc_id, p AS para_idx, -1 AS sent_idx, pstart AS start_char,
+             pstart + plen AS end_char, ptext AS seg_text
+           FROM po
+           UNION ALL
+           SELECT sl.doc_id, sl.p, sl.s,
+             po.pstart + sl.cum,
+             po.pstart + CASE WHEN sl.s < sl.n_s - 1 THEN sl.cum + sl.slen + 1 ELSE po.plen END,
+             sl.stext
+           FROM sl JOIN po ON sl.doc_id = po.doc_id AND sl.p = po.p)
+         SELECT doc_id, CAST(para_idx AS INT) AS para_idx,
+           CAST(sent_idx AS INT) AS sent_idx, CAST(start_char AS INT) AS start_char,
+           CAST(end_char AS INT) AS end_char, seg_text
+         FROM segs ORDER BY doc_id, para_idx, sent_idx""",
+
+    "q70_cluster_argmax" ->
+      // full _assign_by_score mirror: conceptMatchScoreFast per ontology
+      // candidate (q34's formula: +5 per contained key phrase, +8 any
+      // establishing case, keyword overlaps capped at 4), plain keyword
+      // overlap vs keywordSet(cid + ' ' + label) per pseudo candidate, then
+      // the FIRST strict-'>' argmax in candidate order, NULL below
+      // min_score. Short/stopword tokens can't appear in any candidate
+      // keyword list, so the unfiltered token intersection is exact.
+      """WITH t AS (
+           SELECT doc_id, CAST(2 + doc_id % 2 AS INT) AS min_score,
+             ['fair opportunity to answer was denied before the hearing',
+              'the proportionality test requires a rational nexus to a legitimate aim',
+              'speedy trial guarantee was invoked by the accused person',
+              'land acquisition compensation award challenged in appeal',
+              'completely unrelated filler words about nothing relevant here',
+              'speaking order with reasons after fair hearing notice',
+              'land acquisition compensation award with speedy trial guarantee'
+             ][CAST(doc_id % 7 AS INT) + 1] AS text
+           FROM documents),
+         n AS (
+           SELECT doc_id, min_score,
+             lower(regexp_replace(text, '\s+', ' ', 'g')) AS lownorm,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS toks
+           FROM t),
+         sc AS (
+           SELECT doc_id, min_score,
+             5 * (contains(lownorm, 'no one shall be condemned unheard')::INT
+                + contains(lownorm, 'fair opportunity to answer')::INT
+                + contains(lownorm, 'speaking order')::INT)
+             + 8 * (CASE WHEN contains(lownorm, 'maneka gandhi v. uoi (1978)')
+                         OR contains(lownorm, 'a.k. kraipak v. uoi (1969)') THEN 1 ELSE 0 END)
+             + least(4, len(list_intersect(toks, ['action','actions','administrative','adverse','alteram','answer','audi','before','challenge','conclusion','condemned','decision','difference','emergency','exclusion','fair','heard','hearing','judicial','justice','make','natural','notice','obvious','opportunity','order','partem','post','proposed','purely','quasi','reasonable','reasoned','speaking','statutory','subject','suffice','unheard','urgency'])))
+             + least(4, len(list_intersect(toks, ['action','adverse','before','decision','fair','heard','hearing','notice','opportunity','order','proposed','reasonable','reasoned','speaking']))) AS s_audi,
+             5 * (contains(lownorm, 'legitimate aim')::INT
+                + contains(lownorm, 'rational nexus')::INT
+                + contains(lownorm, 'least restrictive means')::INT
+                + contains(lownorm, 'proportionality stricto sensu')::INT)
+             + 8 * (CASE WHEN contains(lownorm, 'modern dental college v. state of mp (2016)')
+                         OR contains(lownorm, 'k.s. puttaswamy i (2017)')
+                         OR contains(lownorm, 'k.s. puttaswamy ii/aadhaar (2018)') THEN 1 ELSE 0 END)
+             + least(4, len(list_intersect(toks, ['alternatives','available','disproportionate','four','impact','least','legitimate','less','means','nexus','prongs','proportionality','rational','restrictive','rights','sensu','stricto','test'])))
+             + least(4, len(list_intersect(toks, ['four','prongs']))) AS s_prop,
+             len(list_intersect(toks, ['speedy','trial','guarantee'])) AS s_p1,
+             len(list_intersect(toks, ['land','acquisition','compensation','award'])) AS s_p2
+           FROM n)
+         SELECT doc_id, min_score,
+           CASE WHEN greatest(s_audi, s_prop, s_p1, s_p2) >= min_score THEN
+             CASE WHEN s_audi = greatest(s_audi, s_prop, s_p1, s_p2) THEN 'DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM'
+                  WHEN s_prop = greatest(s_audi, s_prop, s_p1, s_p2) THEN 'DOCTRINE_PROPORTIONALITY_TEST'
+                  WHEN s_p1 = greatest(s_audi, s_prop, s_p1, s_p2) THEN 'PSEUDO_SPEEDY_TRIAL'
+                  ELSE 'PSEUDO_LAND_ACQUISITION' END
+           END AS best_cluster
+         FROM sc ORDER BY doc_id""",
+
+    "q72_anchor_repair" ->
+      // make_anchor mirror over the q69 closed-form document: variant 0
+      // passes the last sentence's trimmed span through; variants 1 and 3
+      // repair onto the first sentence's span [0, len) via quote alignment
+      // (the quote IS the document prefix, so alignment lands at 0 in both
+      // the ws-collapsed and original texts); variants 2 and 4 return NULL.
+      // hash = sha256(span text) first 16 hex; display = containing
+      // sentence's para:sent.
+      """WITH ps AS (
+           SELECT d.doc_id, pp.p, ss.s
+           FROM documents d,
+                (SELECT unnest([0,1,2]) AS p) pp,
+                (SELECT unnest([0,1,2]) AS s) ss
+           WHERE pp.p <= d.doc_id % 3 AND ss.s <= (d.doc_id + pp.p) % 3),
+         sen AS (
+           SELECT doc_id, p, s,
+             ['Alpha','Beta','Gamma','Delta','Epsilon'][CAST((doc_id + 2*p + 3*s) % 5 AS INT) + 1]
+               || repeat(' pad', CAST((doc_id + p + s) % 3 AS INT)) || '.' AS stext
+           FROM ps),
+         sl AS (
+           SELECT doc_id, p, s, stext, length(stext) AS slen,
+             COALESCE(sum(length(stext) + 1) OVER (PARTITION BY doc_id, p ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum,
+             count(*) OVER (PARTITION BY doc_id, p) AS n_s
+           FROM sen),
+         pl AS (
+           SELECT doc_id, p, sum(slen) + count(*) - 1 AS plen
+           FROM sl GROUP BY doc_id, p),
+         po AS (
+           SELECT doc_id, p, plen,
+             COALESCE(sum(plen + 2) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pstart
+           FROM pl),
+         s00 AS (SELECT doc_id, stext AS q, slen AS qlen FROM sl WHERE p = 0 AND s = 0),
+         lasts AS (
+           SELECT sl.doc_id, po.pstart + sl.cum AS lstart, sl.slen AS llen,
+             sl.stext AS ltext, sl.p AS lp, sl.s AS ls
+           FROM sl JOIN po ON sl.doc_id = po.doc_id AND sl.p = po.p
+           WHERE sl.s = sl.n_s - 1
+             AND sl.p = (SELECT max(p2.p) FROM po p2 WHERE p2.doc_id = sl.doc_id)),
+         v AS (
+           SELECT d.doc_id, CAST(d.doc_id % 5 AS INT) AS variant,
+             s00.q, s00.qlen, lasts.lstart, lasts.llen, lasts.ltext, lasts.lp, lasts.ls
+           FROM documents d
+           JOIN s00 ON d.doc_id = s00.doc_id
+           JOIN lasts ON d.doc_id = lasts.doc_id)
+         SELECT doc_id, variant,
+           CASE WHEN variant = 0 THEN CAST(lstart AS INT)
+                WHEN variant IN (1, 3) THEN 0 END AS start_char,
+           CASE WHEN variant = 0 THEN CAST(lstart + llen AS INT)
+                WHEN variant IN (1, 3) THEN CAST(qlen AS INT) END AS end_char,
+           CASE WHEN variant = 0 THEN substr(sha256(ltext), 1, 16)
+                WHEN variant IN (1, 3) THEN substr(sha256(q), 1, 16) END AS text_hash,
+           CASE WHEN variant = 0 THEN lp::VARCHAR || ':' || ls::VARCHAR
+                WHEN variant IN (1, 3) THEN '0:0' END AS display_loc,
+           CASE WHEN variant = 0 THEN ltext
+                WHEN variant IN (1, 3) THEN q END AS surface
+         FROM v ORDER BY doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the

@@ -202,6 +202,86 @@ object DocExtractor {
     if (bestFact != null && bestScore >= 1) Some(bestFact) else None
   }
 
+  /** Stage-5 score-fallback cluster assignment (extractor.py:1409-1637
+    * `_assign_by_score` and the issue/holding fallbacks): argmax of
+    * conceptMatchScoreFast over ontology candidates / keyword overlap over
+    * pseudo-cluster candidates, FIRST strict-'>' winner in candidate order,
+    * None below `minScore`. Ontology candidates are pre-pruned through the
+    * inverted keyword index (exactness-preserving — a concept can only
+    * score > 0 when it shares an index keyword with the text or sits in
+    * `alwaysCandidates`). Public so the oracle harness drives the REAL
+    * operator on planted texts/candidates; extract() calls this. */
+  def argmaxCluster(
+      mt: graft.kg.ontology.MatchText,
+      candidates: Iterable[String],
+      minScore: Int,
+      ontology: OntologyData,
+      pseudoLabel: String => String,
+      turkish: Boolean): Option[String] = {
+    val possible: Set[String] =
+      mt.keywords.iterator.flatMap(k => ontology.keywordIndex.getOrElse(k, Nil)).toSet ++
+        ontology.alwaysCandidates
+    var best: Option[String] = None
+    var bestScore = 0
+    for (cid <- candidates
+         if possible.contains(cid) || !ontology.concepts.contains(cid)) {
+      val s = ontology.concepts.get(cid) match {
+        case Some(cdef) => Ontology.conceptMatchScoreFast(mt, cdef, turkish = turkish)
+        case None =>
+          val pseudoKw = Normalize.keywordSet(cid + " " + pseudoLabel(cid))
+          Normalize.overlap(mt.keywords, pseudoKw)
+      }
+      if (s > bestScore) { bestScore = s; best = Some(cid) }
+    }
+    best.filter(_ => bestScore >= minScore)
+  }
+
+  /** sha256("")[:16] — the hash an anchor over empty extracted text carries
+    * (extractor.py:139 EMPTY_ANCHOR_HASH). */
+  val EmptyAnchorHash = "e3b0c44298fc1c14"
+
+  /** M8 anchor construction with validation + repair (extractor.py:2619-2700
+    * `make_anchor`): claimed offsets pass through when sane
+    * (0 <= start < end <= len); invalid offsets repair via quote alignment
+    * (Turkish-aware fallback only on this first repair, extractor.py:2651);
+    * a span whose extracted text is empty/whitespace (EMPTY_ANCHOR_HASH)
+    * retries the plain quote repair; still empty → None. surfaceText
+    * defaults to the first 150 chars of the extracted text. Public so the
+    * oracle harness drives the REAL validate/repair path on planted
+    * (doc, claimed-span, quote) triples. */
+  def makeAnchor(
+      doc: SegmentedDoc,
+      startChar: Option[Int],
+      endChar: Option[Int],
+      surfaceText: Option[String] = None,
+      quoteForAlignment: Option[String] = None,
+      turkish: Boolean = false): Option[Anchor] = {
+    val docLen = doc.fullText.length
+    var s = startChar.getOrElse(-1)
+    var e = endChar.getOrElse(-1)
+    var ok = startChar.isDefined && endChar.isDefined && 0 <= s && s < e && e <= docLen
+    val repairQuote = quoteForAlignment.orElse(surfaceText)
+    if (!ok) repairQuote.foreach { q =>
+      val rep = Normalize.alignQuote(doc.fullText, q)
+        .orElse(if (turkish) Normalize.alignQuoteTurkish(doc.fullText, q) else None)
+      rep.foreach { case (rs, re) => s = rs; e = re; ok = true }
+    }
+    if (!ok) return None
+    var actual = doc.fullText.substring(s, e)
+    var hash = Normalize.textHash16(actual)
+    if (hash == EmptyAnchorHash || actual.trim.isEmpty)
+      repairQuote.flatMap(q => Normalize.alignQuote(doc.fullText, q)).foreach {
+        case (rs, re) =>
+          s = rs; e = re
+          actual = doc.fullText.substring(s, e)
+          hash = Normalize.textHash16(actual)
+      }
+    if (hash == EmptyAnchorHash || actual.trim.isEmpty) return None
+    val display = doc.segmentAt(s, e).map(_.displayLocation).orNull
+    Some(Anchor(doc.docId, s, e, hash, display,
+      surfaceText.getOrElse(actual.take(150))))
+  }
+
   def anchorFor(doc: SegmentedDoc, seg: TextSegment): Anchor =
     Anchor(doc.docId, seg.startChar, seg.endChar,
       Normalize.textHash16(doc.fullText.substring(seg.startChar, seg.endChar)),
@@ -502,44 +582,26 @@ object DocExtractor {
     def mtOf(text: String): graft.kg.ontology.MatchText =
       matchTextCache.getOrElseUpdate(text, graft.kg.ontology.MatchText.of(text, turkish))
 
-    def scoreAgainst(mt: graft.kg.ontology.MatchText, cid: String): Int =
-      ontology.concepts.get(cid) match {
-        case Some(cdef) => Ontology.conceptMatchScoreFast(mt, cdef, turkish = turkish)
-        case None =>
-          val pseudoKw = Normalize.keywordSet(cid + " " + clusters(cid).label)
-          Normalize.overlap(mt.keywords, pseudoKw)
-      }
-
-    def argmaxCluster(text: String, candidates: Iterable[String], minScore: Int): Option[String] = {
-      val mt = mtOf(text)
-      // prune to clusters that can possibly score > 0 (inverted keyword
-      // index), keeping the original iteration order for tie determinism
-      val possible: Set[String] =
-        mt.keywords.iterator.flatMap(k => ontology.keywordIndex.getOrElse(k, Nil)).toSet ++
-          ontology.alwaysCandidates
-      var best: Option[String] = None
-      var bestScore = 0
-      for (cid <- candidates
-           if possible.contains(cid) || !ontology.concepts.contains(cid)) {
-        val s = scoreAgainst(mt, cid)
-        if (s > bestScore) { bestScore = s; best = Some(cid) }
-      }
-      best.filter(_ => bestScore >= minScore)
-    }
+    // score-fallback assignment = the public argmaxCluster (oracle-driven in
+    // q70) over the cached MatchText, with pseudo labels resolved from the
+    // live cluster table
+    def argmaxClusterLocal(text: String, candidates: Iterable[String], minScore: Int): Option[String] =
+      argmaxCluster(mtOf(text), candidates, minScore, ontology,
+        cid => clusters(cid).label, turkish)
 
     // candidate list in legacy insertion order (all ontology cids + pseudos
     // created by the concept pass above — later passes never add clusters)
     val allCandidates: List[String] = canonicalClusterIds.toList
     // issues: no primary_concepts in v1 → score fallback (min 3)
     for (i <- issues)
-      argmaxCluster(i.text, allCandidates, 3).foreach(cid => addMember(cid, i))
+      argmaxClusterLocal(i.text, allCandidates, 3).foreach(cid => addMember(cid, i))
     // holdings: via resolves_issue → issue clusters, else score fallback
     for (h <- holdings) {
       val viaIssue = Option(h.resolvesIssue).toList
         .flatMap(iid => membership.getOrElse(iid, ArrayBuffer.empty).toList)
       if (viaIssue.nonEmpty) viaIssue.foreach(cid => clusters(cid).members("holding") += h.id)
       if (viaIssue.nonEmpty) membership.getOrElseUpdate(h.id, ArrayBuffer.empty) ++= viaIssue
-      else argmaxCluster(h.text, allCandidates, 3).foreach(cid => addMember(cid, h))
+      else argmaxClusterLocal(h.text, allCandidates, 3).foreach(cid => addMember(cid, h))
     }
     // facts / arguments: min score 2, only clusters with issues/holdings/concepts
     // (constant during fact/argument/precedent assignment — those additions
@@ -548,9 +610,9 @@ object DocExtractor {
       clusters.get(cid).exists(cl => cl.members("issue").nonEmpty ||
         cl.members("holding").nonEmpty || cl.members("concept").nonEmpty)).toList
     for (f <- facts)
-      argmaxCluster(f.text, seededClusters, 2).foreach(cid => addMember(cid, f))
+      argmaxClusterLocal(f.text, seededClusters, 2).foreach(cid => addMember(cid, f))
     for (a <- args)
-      argmaxCluster(a.text, seededClusters, 2).foreach(cid => addMember(cid, a))
+      argmaxClusterLocal(a.text, seededClusters, 2).foreach(cid => addMember(cid, a))
     // precedents: establishing-case containment first, else score
     for (p <- precedents) {
       val name = Option(p.caseName).getOrElse("").toLowerCase(Locale.ROOT)
@@ -559,7 +621,7 @@ object DocExtractor {
           if cdef.establishingCases.exists(_.toLowerCase(Locale.ROOT).contains(name)) => cid }
       else Nil
       if (hits.nonEmpty) hits.foreach(cid => addMember(cid, p))
-      else argmaxCluster(nodeText(p.id), seededClusters, 2).foreach(cid => addMember(cid, p))
+      else argmaxClusterLocal(nodeText(p.id), seededClusters, 2).foreach(cid => addMember(cid, p))
     }
 
     // requirement satisfaction (extractor.py:1600-1629)
@@ -686,8 +748,11 @@ object DocExtractor {
         val scored = ratioHoldings.map(h =>
           (Normalize.overlap(Normalize.keywordSet(h.text), outcomeKw), h))
         // relation per holding incl. the all-zero latest-by-anchor fallback
-        // (extractor.py:4160-4168) — shared with the oracle harness
-        val rels = outcomeLinkPlan(scored.map { case (ov, h) => (ov, h.anchor.startChar, h.id) })
+        // (extractor.py:4160-4168) — shared with the oracle harness; a
+        // missing anchor sorts as -1 (extractor.py:4164 `a.start_char if a
+        // else -1`), not NPE
+        val rels = outcomeLinkPlan(scored.map { case (ov, h) =>
+          (ov, Option(h.anchor).map(_.startChar).getOrElse(-1), h.id) })
         for (((_, h), rel) <- scored.zip(rels)) {
           val (critical, strength) =
             if (rel == "determines") (true, "strong") else (false, "moderate")

@@ -175,11 +175,12 @@ object Citations {
     out.toList
   }
 
-  /** Merged [digit−R, digit+R] windows over the text. Every IN/TR citation
-    * pattern REQUIRES a digit inside the match and matches are far shorter
-    * than R, so scanning only these windows is exact while skipping the
-    * digit-free bulk of running text (regex backtracking was the extraction
-    * profile's top cost). */
+  /** Merged [digit−R, digit+R] windows over the text. Every IN citation
+    * pattern — and every TR pattern except the two court-mention grammars
+    * (see turkishCourtWindows) — REQUIRES a digit inside the match and
+    * matches are far shorter than R, so scanning only these windows is
+    * exact while skipping the digit-free bulk of running text (regex
+    * backtracking was the extraction profile's top cost). */
   private def digitWindows(text: String, radius: Int = 200): List[(Int, Int)] = {
     val out = ArrayBuffer.empty[(Int, Int)]
     var i = 0
@@ -195,6 +196,54 @@ object Citations {
         } else out += ((ws, we))
       }
       i += 1
+    }
+    out.toList
+  }
+
+  /** TrYargitay / TrDanistay are the only TR patterns whose digit groups are
+    * OPTIONAL (`(?:E\.?\s*\d{4}/\d+)?`), so digit windows alone would miss a
+    * digit-free "Yargıtay … Dairesi" mention sitting > R chars from any
+    * number — a divergence from the full-scan semantics the windows must
+    * reproduce exactly. This scans for the two court stems under the same
+    * case folding the patterns use (A-Z→a-z, I/İ/ı→i, Ş→ş; the patterns
+    * spell `Yarg[ıi]tay` / `Dan[ıi][şs]tay`) and windows [stem−8, stem+R]
+    * around each occurrence: a match can only START at a stem, and 8 chars
+    * of left context keep \b honest at the window edge. */
+  private def turkishCourtWindows(text: String, radius: Int = 200): List[(Int, Int)] = {
+    val n = text.length
+    @inline def fold(c: Char): Char = c match {
+      case 'I' | 'İ' | 'ı' => 'i'
+      case 'Ş' => 'ş'
+      case c if c >= 'A' && c <= 'Z' => (c + 32).toChar
+      case c => c
+    }
+    @inline def stemAt(i: Int, stem: String): Boolean = {
+      if (i + stem.length > n) false
+      else {
+        var j = 0
+        while (j < stem.length && fold(text.charAt(i + j)) == stem.charAt(j)) j += 1
+        j == stem.length
+      }
+    }
+    val out = ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < n) {
+      if (stemAt(i, "yargitay") || stemAt(i, "daniştay") || stemAt(i, "danistay"))
+        out += ((math.max(0, i - 8), math.min(n, i + radius)))
+      i += 1
+    }
+    out.toList
+  }
+
+  /** Merge possibly-overlapping windows from several sources into disjoint
+    * sorted spans. */
+  private def mergeSpans(spans: List[(Int, Int)]): List[(Int, Int)] = {
+    val out = ArrayBuffer.empty[(Int, Int)]
+    for ((s, e) <- spans.sortBy(_._1)) {
+      if (out.nonEmpty && out.last._2 >= s) {
+        val (ps, pe) = out.remove(out.length - 1)
+        out += ((ps, math.max(pe, e)))
+      } else out += ((s, e))
     }
     out.toList
   }
@@ -217,7 +266,13 @@ object Citations {
     } else {
       val raw = ArrayBuffer.empty[CitationHit]
       val seen = scala.collection.mutable.Set.empty[(Int, Int, String)]
-      for ((ws, we) <- digitWindows(text); hit <- extractFull(text.substring(ws, we), pats)) {
+      // TR adds court-stem windows: Yargıtay/Danıştay mentions are the only
+      // TR patterns that can match with NO digit in the text
+      val windows =
+        if (j == "tr" || j == "turkey")
+          mergeSpans(digitWindows(text) ++ turkishCourtWindows(text))
+        else digitWindows(text)
+      for ((ws, we) <- windows; hit <- extractFull(text.substring(ws, we), pats)) {
         val shifted = hit.copy(startChar = hit.startChar + ws, endChar = hit.endChar + ws)
         val key = (shifted.startChar, shifted.endChar, shifted.citationType)
         if (!seen.contains(key)) { seen += key; raw += shifted }

@@ -198,4 +198,72 @@ class ExtractorSpec extends AnyFunSuite {
     // support edges into the holding from the natural-justice cluster
     assert(triples.exists { case (s, r, o) => s.startsWith("c") && r == "grounds" && o == h })
   }
+
+  // --- M8 make_anchor validate/repair (extractor.py:2619-2700) -------------
+
+  test("makeAnchor: valid offsets pass through with hash + display") {
+    val doc = graft.kg.text.Segmenter.segment("First point here. Second one.\n\nNext para follows.", "d1")
+    val s1 = doc.sentences(1) // "Second one."
+    val a = DocExtractor.makeAnchor(doc, Some(s1.startChar), Some(s1.startChar + s1.text.length)).get
+    assert(a.startChar == s1.startChar && a.endChar == s1.startChar + s1.text.length)
+    assert(a.surfaceText == "Second one.")
+    assert(a.displayLocation == "0:1")
+    assert(a.textHash == graft.kg.text.Normalize.textHash16("Second one."))
+  }
+
+  test("makeAnchor: invalid offsets repair via quote alignment, Turkish fallback honored") {
+    val doc = graft.kg.text.Segmenter.segment("First point here. Second one.", "d1")
+    val a = DocExtractor.makeAnchor(doc, Some(5), Some(99999),
+      quoteForAlignment = Some("Second one.")).get
+    assert(doc.fullText.substring(a.startChar, a.endChar) == "Second one.")
+    // surface_text falls back to the extracted text when not supplied
+    assert(a.surfaceText == "Second one.")
+    // Turkish-aware repair: quote differs only by Turkish casing (I vs ı)
+    val tdoc = graft.kg.text.Segmenter.segment("ILIK sular aktı burada.", "d2")
+    assert(DocExtractor.makeAnchor(tdoc, None, None,
+      quoteForAlignment = Some("ılık"), turkish = true).isDefined)
+    assert(DocExtractor.makeAnchor(tdoc, None, None,
+      quoteForAlignment = Some("ılık"), turkish = false).isEmpty)
+  }
+
+  test("makeAnchor: whitespace-only span repairs via quote; unrepairable returns None") {
+    val doc = graft.kg.text.Segmenter.segment("Alpha beta.\n\nGamma delta.", "d1")
+    val ws = doc.fullText.indexOf("\n")
+    // whitespace span with a quote -> repaired onto the quote's span
+    val a = DocExtractor.makeAnchor(doc, Some(ws), Some(ws + 2),
+      quoteForAlignment = Some("Gamma delta.")).get
+    assert(doc.fullText.substring(a.startChar, a.endChar) == "Gamma delta.")
+    assert(a.displayLocation == "1:0")
+    // whitespace span without a quote -> None
+    assert(DocExtractor.makeAnchor(doc, Some(ws), Some(ws + 2)).isEmpty)
+    // invalid offsets + unfindable quote -> None
+    assert(DocExtractor.makeAnchor(doc, Some(-3), Some(-1),
+      quoteForAlignment = Some("zz unfindable")).isEmpty)
+    // null offsets, no quote -> None
+    assert(DocExtractor.makeAnchor(doc, None, None).isEmpty)
+    // the empty-hash constant is sha256("") truncated to 16 hex chars
+    assert(DocExtractor.EmptyAnchorHash == graft.kg.text.Normalize.textHash16(""))
+  }
+
+  // --- J3 argmaxCluster (extractor.py:1409-1637 _assign_by_score) ----------
+
+  test("argmaxCluster: ontology + pseudo candidates, thresholds, first-max tie-break") {
+    import graft.kg.ontology.{MatchText, Ontology}
+    val cands = List("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM",
+      "PSEUDO_A", "PSEUDO_B")
+    val labels = Map("PSEUDO_A" -> "speedy trial guarantee",
+      "PSEUDO_B" -> "speedy trial compensation")
+    def pick(text: String, min: Int) = DocExtractor.argmaxCluster(
+      MatchText.of(text, turkish = false), cands, min, Ontology.default, labels, turkish = false)
+    // key-phrase hit beats pseudo keyword overlap
+    assert(pick("a fair opportunity to answer was denied", 3)
+      .contains("DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM"))
+    // pseudo overlap: 2 shared keywords, min 2 passes, min 3 rejects
+    assert(pick("speedy trial rights", 2).contains("PSEUDO_A"))
+    assert(pick("speedy trial rights", 3).isEmpty)
+    // tie between PSEUDO_A and PSEUDO_B (both overlap 2): first candidate wins
+    assert(pick("the speedy trial question", 2).contains("PSEUDO_A"))
+    // zero score -> None regardless of threshold
+    assert(pick("zzz qqq", 2).isEmpty)
+  }
 }

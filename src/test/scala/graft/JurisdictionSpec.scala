@@ -54,4 +54,24 @@ class JurisdictionSpec extends AnyFunSuite {
     val hay = "İDARİ İŞLEMİN İPTALİ"
     assert(graft.kg.text.Normalize.turkishLower(hay) == "idari işlemin iptali")
   }
+
+  test("turkish: digit-free court mentions are found far from any digit") {
+    // TrYargitay/TrDanistay are the only TR patterns whose digit groups are
+    // optional; the digit-window scan alone would miss a court mention
+    // > 200 chars from every number (full-scan semantics must hold)
+    val filler = "bu dosya hakkinda uzun bir anlatim yer almaktadir " * 12 // ~600 digit-free chars
+    val text = filler + "Yargıtay Ceza Dairesi karari dikkate alinmistir. " +
+      filler + "DANIŞTAY Daire gorusu de benzerdir." + filler
+    val hits = graft.kg.rules.Citations.extract(text, "tr")
+    assert(hits.exists(h => h.citationType == "tr_yargitay"), hits.toString)
+    assert(hits.exists(h => h.citationType == "tr_danistay"), hits.toString)
+    // offsets are exact against the original text
+    for (h <- hits)
+      assert(text.substring(h.startChar, h.endChar).trim.startsWith(h.citation.take(8)))
+    // and with a digit present, the windows still agree with themselves:
+    // the same mention near a digit yields the same citation strings
+    val near = "sayi 12345 " + "Yargıtay Ceza Dairesi karari dikkate alinmistir."
+    val nearHits = graft.kg.rules.Citations.extract(near, "tr")
+    assert(nearHits.exists(_.citationType == "tr_yargitay"))
+  }
 }
