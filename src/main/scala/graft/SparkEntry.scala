@@ -1355,6 +1355,95 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- J7 orphan-repair candidate scoring (repair_orphans.py:36-91,
+    //     454-543): planted (orphan, candidate) node pairs through the REAL
+    //     OrphanRepair.candidateEdge — the same code path repair() runs per
+    //     pair. Axes cycled by doc_id arithmetic: type-pair variant
+    //     (doc_id%6) covering every type-specific bonus arm plus the
+    //     reversed-matrix direction (concept←fact) and a no-matrix-entry
+    //     pair (fact/precedent → None); planted keyword overlap 0..3
+    //     (doc_id%4) with stopword/short/uppercase distractors the REAL
+    //     tokenizer must drop; anchor proximity tier incl. null anchor
+    //     ((doc_id/5)%5); bonus-field flag ((doc_id/7)%2); connected flag
+    //     (doc_id%2). The mirror re-derives score = overlap + proximity +
+    //     type bonus, gates at minScore=2.0 BEFORE the +0.5 connected
+    //     bonus, and pins relation + direction per variant. ---
+    "q73_repair_score" -> ((s, dir) => {
+      val scoreU = udf((docId: Long) => {
+        import graft.kg.model.{Anchor, Node}
+        val kbank = Array("alphaterm", "betaterm", "gammaterm", "deltaterm",
+          "epsilonterm", "zetaterm", "thetaterm", "iotaterm")
+        val v = (docId % 6).toInt
+        val ov = (docId % 4).toInt
+        val m = ((docId / 5) % 5).toInt
+        val f = ((docId / 7) % 2).toInt == 1
+        val connected = docId % 2 == 0
+        // the uppercase-dup distractor must already be in that side's own
+        // keyword set, or it would leak extra overlap: betaterm ∈ orphan
+        // always, epsilonterm ∈ cand always (ov ≤ 3)
+        val orphanText = kbank.take(4).mkString(" ") + " BETATERM the court act ab"
+        val candWords = kbank.take(ov) ++ kbank.slice(4, 4 + (4 - ov))
+        val candText = candWords.mkString(" ") + " EPSILONTERM the court act ab"
+        val oAnchor = Anchor("d" + docId, 0, 200, "h", "0:0", "x")
+        val cAnchor =
+          if (m == 4) null
+          else {
+            val dist = Array(100, 500, 1500, 2500)(m)
+            Anchor("d" + docId, dist, dist + 200, "h", "0:0", "x")
+          }
+        def mk(id: String, tpe: String, text: String, anchor: Anchor,
+            courtFinding: String = null, treatment: String = null,
+            resolvesIssue: String = null, claim: String = null): Node =
+          Node(convId = "c" + docId, id = id, nodeType = tpe, text = text,
+            conceptId = null, kind = null, actor = null, factType = null,
+            relevance = null, isRatio = false, resolvesIssue = resolvesIssue,
+            disposition = null, caseName = null, citation = null,
+            citationType = null, caseYear = null, confidence = null,
+            anchor = anchor, method = null, courtFinding = courtFinding,
+            treatment = treatment, claim = claim)
+        val (orphan, cand) = v match {
+          case 0 =>
+            val claim = (if (f) candWords.take(3) else candWords.take(1))
+              .mkString(" ")
+            (mk("o1", "argument", orphanText, oAnchor, claim = claim),
+              mk("c1", "issue", candText, cAnchor))
+          case 1 =>
+            (mk("o1", "fact", orphanText, oAnchor,
+              courtFinding = if (f) "accepted" else "rejected"),
+              mk("c1", "holding", candText, cAnchor))
+          case 2 =>
+            (mk("o1", "precedent", orphanText, oAnchor,
+              treatment = if (f) "followed" else "criticized"),
+              mk("c1", "argument", candText, cAnchor))
+          case 3 =>
+            (mk("o1", "concept", orphanText, oAnchor),
+              mk("c1", "holding", candText, cAnchor,
+                resolvesIssue = if (f) "i1" else null))
+          case 4 =>
+            (mk("o1", "concept", orphanText, oAnchor),
+              mk("c1", "fact", candText, cAnchor))
+          case _ =>
+            (mk("o1", "fact", orphanText, oAnchor),
+              mk("c1", "precedent", candText, cAnchor))
+        }
+        graft.kg.extract.OrphanRepair.candidateEdge(orphan, cand, connected, 2.0)
+          .map { case (score, rel, src, _) =>
+            score.toString + "|" + rel + "|" +
+              (if (src == orphan.id) "orphan" else "cand")
+          }.orNull
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 6).cast("int").as("variant"),
+          (col("doc_id") % 4).cast("int").as("ov"),
+          scoreU(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("variant"), col("ov"),
+          split(col("r"), "\\|").getItem(0).cast("double").as("score"),
+          split(col("r"), "\\|").getItem(1).as("relation"),
+          split(col("r"), "\\|").getItem(2).as("src"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3062,6 +3151,44 @@ object SparkEntry {
            CASE WHEN variant = 0 THEN ltext
                 WHEN variant IN (1, 3) THEN q END AS surface
          FROM v ORDER BY doc_id""",
+
+    "q73_repair_score" ->
+      // candidate-scoring mirror: planted overlap is closed-form (ov shared
+      // keywords by construction; the distractor stop/short/uppercase tokens
+      // must be dropped by the real tokenizer for the counts to match),
+      // proximity tier from the planted anchor mids, type bonus per variant
+      // gated on the (doc_id/7)%2 flag, minScore=2.0 gate applied BEFORE the
+      // +0.5 connected bonus, relation + direction constants per variant
+      // from the published default-relation table and matrix membership
+      // (variant 4 is the reversed concept<-fact direction; variant 5 has no
+      // matrix entry either way and must yield NULL).
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(doc_id % 6 AS INT) AS v,
+             CAST(doc_id % 4 AS INT) AS ov,
+             CAST((doc_id // 5) % 5 AS INT) AS m,
+             CAST((doc_id // 7) % 2 AS INT) AS f,
+             (doc_id % 2 = 0) AS conn
+           FROM documents),
+         b AS (
+           SELECT doc_id, v, ov, conn,
+             ov + [2.0, 1.0, 0.5, 0.0, 0.0][m + 1] +
+             CASE WHEN f = 1 THEN
+               CASE v WHEN 0 THEN 1.5 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0
+                      WHEN 3 THEN 0.5 ELSE 0.0 END
+             ELSE 0.0 END AS base
+           FROM t)
+         SELECT doc_id, v AS variant, ov,
+           CASE WHEN v <> 5 AND ov > 0 AND base >= 2.0
+                THEN base + CASE WHEN conn THEN 0.5 ELSE 0.0 END
+           END AS score,
+           CASE WHEN v <> 5 AND ov > 0 AND base >= 2.0 THEN
+             ['addresses', 'supports', 'supports', 'grounds', 'triggers'][v + 1]
+           END AS relation,
+           CASE WHEN v <> 5 AND ov > 0 AND base >= 2.0 THEN
+             CASE WHEN v = 4 THEN 'cand' ELSE 'orphan' END
+           END AS src
+         FROM b ORDER BY doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
