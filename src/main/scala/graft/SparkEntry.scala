@@ -1444,6 +1444,113 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- G2 justification-set construction (extractor.py:4194-4276):
+    //     planted holdings/edges/clusters through the REAL GraphAssembly
+    //     .buildJustificationSets + pickCluster. Axes by doc_id arithmetic:
+    //     support-edge count 0..2 (doc_id%3; the 2-edge case mixes supports
+    //     + grounds), undercut present ((doc_id/3)%2 — a defeater JS must
+    //     only appear when support ALSO exists), cluster-pick variant
+    //     ((doc_id/6)%4: requires-wins, size-wins, tie-keeps-first,
+    //     no-clusters), cluster logic and/or/unknown-coerced ((doc_id/24)%3).
+    //     Distractor edges (non-support relation on h1; supports onto a
+    //     non-holding target) must be excluded. h2 always carries one
+    //     support edge, so the js{n} counter sequencing across holdings is
+    //     pinned, as are each set's member-edge lists. ---
+    "q74_justification_sets" -> ((s, dir) => {
+      val jsU = udf((docId: Long) => {
+        import graft.kg.model.EdgeRow
+        import graft.kg.extract.GraphAssembly
+        val sN = (docId % 3).toInt
+        val u = ((docId / 3) % 2).toInt == 1
+        val cv = ((docId / 6) % 4).toInt
+        val logic = Vector("and", "or", "xor")(((docId / 24) % 3).toInt)
+        def edge(id: String, src: String, tgt: String, rel: String): EdgeRow =
+          EdgeRow(convId = docId.toString, id = id, source = src,
+            target = tgt, relation = rel, confidence = "high",
+            strength = "strong", isCritical = false, supportGroupIds = Nil,
+            explanation = null, anchor = null, method = "rule",
+            repairNote = null)
+        val edges = Vector(
+          Option.when(sN >= 1)(edge("es1", "f1", "h1", "supports")),
+          Option.when(sN == 2)(edge("es2", "c1", "h1", "grounds")),
+          Option.when(u)(edge("eu1", "a1", "h1", "undercuts")),
+          Some(edge("eh2", "f2", "h2", "supports")),
+          Some(edge("ex1", "f1", "h1", "interprets")),
+          Some(edge("ex2", "f1", "i1", "supports"))).flatten
+        val info = Map(
+          "ca" -> GraphAssembly.ClusterPick(hasRequires = cv != 0,
+            sizeFcp = Vector(2, 2, 3, 0)(cv), logic = logic, label = "Alpha"),
+          "cb" -> GraphAssembly.ClusterPick(hasRequires = true,
+            sizeFcp = Vector(1, 5, 3, 0)(cv), logic = logic, label = "Beta"))
+        val hc: Map[String, List[String]] =
+          if (cv == 3) Map.empty else Map("h1" -> List("ca", "cb"))
+        val (rows, byEdge) = GraphAssembly.buildJustificationSets(
+          docId.toString, Seq("h1", "h2"), edges, hc, info)
+        rows.map { r =>
+          val members = byEdge.collect {
+            case (eid, jss) if jss.contains(r.id) => eid
+          }.toList.sorted.mkString(",")
+          Seq(r.id, r.targetId, r.logic,
+            Option(r.label).getOrElse("<null>"), r.isPrimary.toString,
+            r.confidence, members).mkString("|")
+        }
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(jsU(col("doc_id"))).as("r"))
+        .select(col("doc_id"),
+          split(col("r"), "\\|").getItem(0).as("js_id"),
+          split(col("r"), "\\|").getItem(1).as("target"),
+          split(col("r"), "\\|").getItem(2).as("logic"),
+          when(split(col("r"), "\\|").getItem(3) === "<null>", lit(null))
+            .otherwise(split(col("r"), "\\|").getItem(3)).as("label"),
+          split(col("r"), "\\|").getItem(4).cast("boolean").as("is_primary"),
+          split(col("r"), "\\|").getItem(5).as("confidence"),
+          split(col("r"), "\\|").getItem(6).as("members"))
+        .orderBy(col("doc_id"), col("js_id"))
+    }),
+
+    // --- P7 cluster gate + G1 intra-cluster fan-out: the REAL DocExtractor
+    //     .clusterEdgePlan (extract() calls the same function per live
+    //     cluster) over planted member sets. Axes: holding/issue presence
+    //     (doc_id%2, (doc_id/2)%2 — holdings shadow issues and flip every
+    //     relation), fact count 0..2 ((doc_id/4)%3, planted UNSORTED),
+    //     concept ((doc_id/12)%2), argument count 0..2 ((doc_id/24)%3, the
+    //     >=2-arguments gate arm), precedent ((doc_id/72)%2). The >=2-total
+    //     gate, the argument-only-gate-no-target case (gate passes, zero
+    //     edges), and the e_<sha1(cid)[:8]>_<n> id scheme (cid cycles 4
+    //     values; tags are independent hashlib constants in the mirror) are
+    //     all pinned. ---
+    "q75_cluster_edges" -> ((s, dir) => {
+      val planU = udf((docId: Long) => {
+        val nh = (docId % 2).toInt
+        val ni = ((docId / 2) % 2).toInt
+        val nf = ((docId / 4) % 3).toInt
+        val nc = ((docId / 12) % 2).toInt
+        val na = ((docId / 24) % 3).toInt
+        val np = ((docId / 72) % 2).toInt
+        val members: Map[String, Seq[String]] = Map(
+          "holding" -> (if (nh == 1) Seq("h1") else Nil),
+          "issue" -> (if (ni == 1) Seq("i1") else Nil),
+          "fact" -> Seq("f2", "f1").take(nf),
+          "concept" -> (if (nc == 1) Seq("c1") else Nil),
+          "argument" -> Seq("a2", "a1").take(na),
+          "precedent" -> (if (np == 1) Seq("p1") else Nil))
+        val tag = graft.kg.text.Normalize.sha1Hex8("cl" + (docId % 4))
+        graft.kg.extract.DocExtractor.clusterEdgePlan(members(_))
+          .zipWithIndex.map { case ((src, tgt, rel), i) =>
+            s"e_${tag}_${i + 1}|$src|$tgt|$rel"
+          }
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), posexplode(planU(col("doc_id"))).as(Seq("i", "r")))
+        .select(col("doc_id"), (col("i") + 1).cast("long").as("seq"),
+          split(col("r"), "\\|").getItem(0).as("edge_id"),
+          split(col("r"), "\\|").getItem(1).as("src"),
+          split(col("r"), "\\|").getItem(2).as("tgt"),
+          split(col("r"), "\\|").getItem(3).as("rel"))
+        .orderBy(col("doc_id"), col("seq"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3189,6 +3296,93 @@ object SparkEntry {
              CASE WHEN v = 4 THEN 'cand' ELSE 'orphan' END
            END AS src
          FROM b ORDER BY doc_id""",
+
+    "q74_justification_sets" ->
+      // JS-builder mirror: per doc up to three sets. h1's primary exists
+      // only with support edges; its logic/label come from the picked
+      // cluster (requires-wins / size-wins / tie-keeps-first / none), with
+      // unknown logic coerced to 'and'; the defeater set requires support
+      // AND undercut, is always 'or'/medium/non-primary, and labels off the
+      // primary's label (falling back to the holding id). h2's primary
+      // takes the next js counter value, which depends on how many sets h1
+      // emitted. Member lists are closed-form from the planted edge ids.
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(doc_id % 3 AS INT) AS s,
+             CAST((doc_id // 3) % 2 AS INT) AS u,
+             CAST((doc_id // 6) % 4 AS INT) AS cv,
+             CAST((doc_id // 24) % 3 AS INT) AS lg
+           FROM documents),
+         l AS (
+           SELECT *,
+             CASE WHEN cv < 3 THEN
+               (CASE WHEN cv = 2 THEN 'Alpha' ELSE 'Beta' END) || ' support'
+             END AS plabel,
+             CASE WHEN cv < 3 AND lg = 1 THEN 'or' ELSE 'and' END AS plogic
+           FROM t)
+         SELECT doc_id, 'js1' AS js_id, 'h1' AS target, plogic AS logic,
+                plabel AS label, TRUE AS is_primary, 'high' AS confidence,
+                CASE WHEN s = 2 THEN 'es1,es2' ELSE 'es1' END AS members
+           FROM l WHERE s > 0
+         UNION ALL
+         SELECT doc_id, 'js2', 'h1', 'or',
+                coalesce(plabel, 'h1') || ' defeaters', FALSE, 'medium', 'eu1'
+           FROM l WHERE s > 0 AND u = 1
+         UNION ALL
+         SELECT doc_id,
+                'js' || CAST(1 + CASE WHEN s > 0 THEN 1 ELSE 0 END
+                  + CASE WHEN s > 0 AND u = 1 THEN 1 ELSE 0 END AS VARCHAR),
+                'h2', 'and', NULL, TRUE, 'high', 'eh2'
+           FROM l
+         ORDER BY doc_id, js_id""",
+
+    "q75_cluster_edges" ->
+      // gate + fan-out mirror: candidate member rows carry their emission
+      // rank and presence threshold (f2/a2 plant before f1/a1, so singleton
+      // counts keep the LATER id — the sort the operator must apply);
+      // relations flip wholesale between the holding and issue branches;
+      // the e_<tag>_<n> ids use independently computed hashlib sha1[:8]
+      // constants for the four planted cluster ids.
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(doc_id % 2 AS INT) AS nh,
+             CAST((doc_id // 2) % 2 AS INT) AS ni,
+             CAST((doc_id // 4) % 3 AS INT) AS nf,
+             CAST((doc_id // 12) % 2 AS INT) AS nc,
+             CAST((doc_id // 24) % 3 AS INT) AS na,
+             CAST((doc_id // 72) % 2 AS INT) AS np,
+             ['f548dfc3', '66150d55', '24a99267', '99342126']
+               [CAST(doc_id % 4 AS INT) + 1] AS tag
+           FROM documents),
+         g AS (
+           SELECT * FROM t
+           WHERE nh + ni + nf + nc + na + np >= 2
+             AND (nh = 1 OR ni = 1 OR na >= 2)
+             AND (nh = 1 OR ni = 1)),
+         cand AS (
+           SELECT * FROM (VALUES
+             (1, 'f1', 'f', 2), (2, 'f2', 'f', 1), (3, 'c1', 'c', 1),
+             (4, 'a1', 'a', 2), (5, 'a2', 'a', 1), (6, 'p1', 'p', 1))
+             AS v(rk, src, typ, minn)),
+         e AS (
+           SELECT g.doc_id, g.tag, c.rk, c.src,
+             CASE WHEN g.nh = 1 THEN 'h1' ELSE 'i1' END AS tgt,
+             CASE WHEN g.nh = 1 THEN
+               CASE WHEN c.typ = 'c' THEN 'grounds' ELSE 'supports' END
+             ELSE
+               CASE WHEN c.typ = 'f' THEN 'triggers' ELSE 'addresses' END
+             END AS rel
+           FROM g JOIN cand c ON
+             (c.typ = 'f' AND g.nf >= c.minn) OR
+             (c.typ = 'c' AND g.nc >= c.minn) OR
+             (c.typ = 'a' AND g.na >= c.minn) OR
+             (c.typ = 'p' AND g.np >= c.minn))
+         SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS seq,
+           'e_' || tag || '_' || CAST(row_number() OVER
+             (PARTITION BY doc_id ORDER BY rk) AS VARCHAR) AS edge_id,
+           src, tgt, rel
+         FROM e ORDER BY doc_id, seq""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the

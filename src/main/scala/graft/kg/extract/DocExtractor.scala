@@ -236,6 +236,46 @@ object DocExtractor {
     best.filter(_ => bestScore >= minScore)
   }
 
+  /** P7 cluster gate + G1 intra-cluster support fan-out
+    * (extractor.py:4756-4817): emit edges only when the cluster has >=2
+    * member slots (duplicates counted, as the reference's len() sums do)
+    * AND (a holding, an issue, or >=2 arguments); holdings take precedence
+    * over issues; per-target fan-out in fact->concept->argument->precedent
+    * order with each type's members sorted. Returns (src, tgt, relation)
+    * in emission order — ids/anchors are attached by the caller. Public so
+    * the oracle harness (q75) drives the REAL gate + ordering; extract()
+    * calls this per live cluster. */
+  def clusterEdgePlan(members: String => scala.collection.Seq[String])
+      : List[(String, String, String)] = {
+    val types = List("fact", "concept", "issue", "argument", "holding", "precedent")
+    val total = types.iterator.map(members(_).size).sum
+    val gate = total >= 2 &&
+      (members("holding").nonEmpty || members("issue").nonEmpty ||
+        members("argument").size >= 2)
+    if (!gate) Nil
+    else {
+      val out = List.newBuilder[(String, String, String)]
+      val hs = members("holding").toList.sorted
+      val is = members("issue").toList.sorted
+      if (hs.nonEmpty) {
+        for (h <- hs) {
+          for (f <- members("fact").toList.sorted) out += ((f, h, "supports"))
+          for (c <- members("concept").toList.sorted) out += ((c, h, "grounds"))
+          for (a <- members("argument").toList.sorted) out += ((a, h, "supports"))
+          for (p <- members("precedent").toList.sorted) out += ((p, h, "supports"))
+        }
+      } else if (is.nonEmpty) {
+        for (i <- is) {
+          for (f <- members("fact").toList.sorted) out += ((f, i, "triggers"))
+          for (c <- members("concept").toList.sorted) out += ((c, i, "addresses"))
+          for (a <- members("argument").toList.sorted) out += ((a, i, "addresses"))
+          for (p <- members("precedent").toList.sorted) out += ((p, i, "addresses"))
+        }
+      }
+      out.result()
+    }
+  }
+
   /** sha256("")[:16] — the hash an anchor over empty extracted text carries
     * (extractor.py:139 EMPTY_ANCHOR_HASH). */
   val EmptyAnchorHash = "e3b0c44298fc1c14"
@@ -701,34 +741,15 @@ object DocExtractor {
     // (b) gated intra-cluster support edges (replaces LLM pass 8; gate per
     //     extractor.py:4756-4763: ≥2 nodes and (holding or issue or ≥2 args))
     for ((cid, cl) <- liveClusters.toList.sortBy(_._1)) {
-      val total = cl.members.values.map(_.size).sum
-      val gate = total >= 2 &&
-        (cl.members("holding").nonEmpty || cl.members("issue").nonEmpty || cl.members("argument").size >= 2)
-      if (gate) {
+      val plan = clusterEdgePlan(cl.members(_))
+      if (plan.nonEmpty) {
         val tag = Normalize.sha1Hex8(cid)
         var n = 0
-        def clusterEdge(src: String, tgt: String, rel: String): Unit = {
+        for ((src, tgt, rel) <- plan) {
           n += 1
           val srcAnchor = nodes.find(_.id == src).map(_.anchor).orNull
           rawEdges += mkEdge(s"e_${tag}_$n", src, tgt, rel, "medium", "moderate",
             critical = false, srcAnchor, null, "rule")
-        }
-        val hs = cl.members("holding").toList.sorted
-        val is = cl.members("issue").toList.sorted
-        if (hs.nonEmpty) {
-          for (h <- hs) {
-            for (f <- cl.members("fact").toList.sorted) clusterEdge(f, h, "supports")
-            for (c <- cl.members("concept").toList.sorted) clusterEdge(c, h, "grounds")
-            for (a <- cl.members("argument").toList.sorted) clusterEdge(a, h, "supports")
-            for (p <- cl.members("precedent").toList.sorted) clusterEdge(p, h, "supports")
-          }
-        } else if (is.nonEmpty) {
-          for (i <- is) {
-            for (f <- cl.members("fact").toList.sorted) clusterEdge(f, i, "triggers")
-            for (c <- cl.members("concept").toList.sorted) clusterEdge(c, i, "addresses")
-            for (a <- cl.members("argument").toList.sorted) clusterEdge(a, i, "addresses")
-            for (p <- cl.members("precedent").toList.sorted) clusterEdge(p, i, "addresses")
-          }
         }
       }
     }
