@@ -1551,6 +1551,79 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seq"))
     }),
 
+    // --- G3/C4 reasoning-chain synthesis (extractor.py:4290-4369): the
+    //     REAL GraphAssembly.buildChains over five planted topologies
+    //     (doc_id%5): straight fan-in with a critical edge and an untracked
+    //     precedent source; multi-level BFS where a node is reached twice
+    //     (first-seen dedup = C4, edge-list traversal order); structural
+    //     determines-edge skip + a cycle back to the visited holding (the
+    //     cycle EDGE is still recorded); two issues x three holdings where
+    //     the unresolved holding emits no chain and a missing primaryJsFor
+    //     entry yields null; an edgeless chain. Every expected list — in
+    //     BFS emission order, dedup preserving first occurrence — plus the
+    //     exact narrative string is hand-derived from the reference
+    //     algorithm and pinned as per-variant constants in the mirror. ---
+    "q76_reasoning_chains" -> ((s, dir) => {
+      val chainU = udf((docId: Long) => {
+        import graft.kg.model.EdgeRow
+        val v = (docId % 5).toInt
+        def edge(id: String, src: String, tgt: String, rel: String,
+            critical: Boolean = false): EdgeRow =
+          EdgeRow(convId = docId.toString, id = id, source = src,
+            target = tgt, relation = rel, confidence = "high",
+            strength = "strong", isCritical = critical,
+            supportGroupIds = Nil, explanation = null, anchor = null,
+            method = "rule", repairNote = null)
+        val types = Map("f1" -> "fact", "f2" -> "fact", "c1" -> "concept",
+          "a1" -> "argument", "p1" -> "precedent", "h1" -> "holding",
+          "h2" -> "holding", "h3" -> "holding", "i1" -> "issue",
+          "i2" -> "issue")
+        val (issues, holdings, edges, pjs) = v match {
+          case 0 => (Seq("i1"), Seq("h1" -> "i1"), Vector(
+            edge("e1", "f1", "h1", "supports", critical = true),
+            edge("e2", "c1", "h1", "grounds"),
+            edge("e3", "a1", "h1", "supports"),
+            edge("e4", "p1", "h1", "supports")), Map("h1" -> "jsA"))
+          case 1 => (Seq("i1"), Seq("h1" -> "i1"), Vector(
+            edge("e1", "a1", "h1", "supports"),
+            edge("e3", "f1", "h1", "supports"),
+            edge("e2", "f1", "a1", "supports")), Map("h1" -> "jsA"))
+          case 2 => (Seq("i1"), Seq("h1" -> "i1"), Vector(
+            edge("e1", "c1", "h1", "determines"),
+            edge("e2", "f1", "h1", "triggers"),
+            edge("e3", "h1", "f1", "interprets")), Map("h1" -> "jsA"))
+          case 3 => (Seq("i1", "i2"),
+            Seq("h1" -> "i1", "h2" -> "i2", "h3" -> "i9"), Vector(
+              edge("e1", "f1", "h1", "supports"),
+              edge("e2", "c1", "h2", "grounds")), Map("h1" -> "js1"))
+          case _ => (Seq("i1"), Seq("h1" -> "i1"),
+            Vector.empty[EdgeRow], Map.empty[String, String])
+        }
+        graft.kg.extract.GraphAssembly
+          .buildChains(docId.toString, issues, holdings, edges, pjs, types)
+          .map(c => Seq(c.id, c.issueId, c.holdingId,
+            c.factIds.mkString(","), c.conceptIds.mkString(","),
+            c.argumentIds.mkString(","), c.edgeIds.mkString(","),
+            Option(c.justificationSetId).getOrElse("<null>"),
+            c.criticalNodes.mkString(","), c.narrative).mkString("|"))
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(chainU(col("doc_id"))).as("r"))
+        .select(col("doc_id"),
+          split(col("r"), "\\|").getItem(0).as("chain_id"),
+          split(col("r"), "\\|").getItem(1).as("issue_id"),
+          split(col("r"), "\\|").getItem(2).as("holding_id"),
+          split(col("r"), "\\|").getItem(3).as("facts"),
+          split(col("r"), "\\|").getItem(4).as("concepts"),
+          split(col("r"), "\\|").getItem(5).as("arguments"),
+          split(col("r"), "\\|").getItem(6).as("edge_ids"),
+          when(split(col("r"), "\\|").getItem(7) === "<null>", lit(null))
+            .otherwise(split(col("r"), "\\|").getItem(7)).as("primary_js"),
+          split(col("r"), "\\|").getItem(8).as("critical"),
+          split(col("r"), "\\|").getItem(9).as("narrative"))
+        .orderBy(col("doc_id"), col("chain_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3383,6 +3456,46 @@ object SparkEntry {
              (PARTITION BY doc_id ORDER BY rk) AS VARCHAR) AS edge_id,
            src, tgt, rel
          FROM e ORDER BY doc_id, seq""",
+
+    "q76_reasoning_chains" ->
+      // chain mirror: expected lists/narratives hand-derived from the
+      // reference BFS (in-edges in edge-list order, structural relations
+      // skipped but cycle edges recorded, first-seen dedup, critical =
+      // sources of is_critical edges) and pinned per planted topology
+      // variant. v3 emits two chains (the i9-resolving holding none);
+      // a missing primaryJsFor entry is NULL, empty lists are ''.
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 5 AS INT) AS v FROM documents)
+         SELECT doc_id, 'rc_i1_h1' AS chain_id, 'i1' AS issue_id,
+                'h1' AS holding_id, 'f1' AS facts, 'c1' AS concepts,
+                'a1' AS arguments, 'e1,e2,e3,e4' AS edge_ids,
+                'jsA' AS primary_js, 'f1' AS critical,
+                'Issue i1 resolved by holding h1. Facts: f1. Concepts: c1. Arguments: a1.' AS narrative
+           FROM t WHERE v = 0
+         UNION ALL
+         SELECT doc_id, 'rc_i1_h1', 'i1', 'h1', 'f1', '', 'a1', 'e1,e3,e2',
+                'jsA', '',
+                'Issue i1 resolved by holding h1. Facts: f1. Arguments: a1.'
+           FROM t WHERE v = 1
+         UNION ALL
+         SELECT doc_id, 'rc_i1_h1', 'i1', 'h1', 'f1', '', '', 'e2,e3',
+                'jsA', '',
+                'Issue i1 resolved by holding h1. Facts: f1.'
+           FROM t WHERE v = 2
+         UNION ALL
+         SELECT doc_id, 'rc_i1_h1', 'i1', 'h1', 'f1', '', '', 'e1',
+                'js1', '',
+                'Issue i1 resolved by holding h1. Facts: f1.'
+           FROM t WHERE v = 3
+         UNION ALL
+         SELECT doc_id, 'rc_i2_h2', 'i2', 'h2', '', 'c1', '', 'e2',
+                NULL, '',
+                'Issue i2 resolved by holding h2. Concepts: c1.'
+           FROM t WHERE v = 3
+         UNION ALL
+         SELECT doc_id, 'rc_i1_h1', 'i1', 'h1', '', '', '', '', NULL, '',
+                'Issue i1 resolved by holding h1.'
+           FROM t WHERE v = 4
+         ORDER BY doc_id, chain_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
