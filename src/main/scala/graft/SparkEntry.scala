@@ -1624,6 +1624,74 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chain_id"))
     }),
 
+    // --- G9 full repair-engine loop (repair_orphans.py:324-641): the REAL
+    //     OrphanRepair.repair over a planted 3-orphan graph wired so the
+    //     loop's stateful semantics are all load-bearing: a1's repair to i9
+    //     GROWS the connected set (c2/i9 then earn the +0.5 bonus), a1's
+    //     runner-up (3.0 < 3.5) stops at one edge, c2 hits the 2-edge cap,
+    //     i9's two best candidates are SKIPPED as already-connected pairs
+    //     (skip, not stop — its third candidate still lands), warnings count
+    //     per orphan. Axes: a1-i9 anchor distance cycles the proximity tier
+    //     (doc_id%3 — flips edge 1's strength moderate stays, score text
+    //     changes), and doc_id%2 plants the existing edge under the id
+    //     e_repair_1 so the counter's skip-existing-ids loop is exercised.
+    //     The mirror pins every edge (id, endpoints, relation, strength,
+    //     exact explanation string) and warning as hand-derived constants. ---
+    "q77_repair_engine" -> ((s, dir) => {
+      val repU = udf((docId: Long) => {
+        import graft.kg.model.{Anchor, EdgeRow, Node}
+        val m = (docId % 3).toInt
+        val f = (docId % 2).toInt
+        def mk(id: String, tpe: String, text: String, anchor: Anchor): Node =
+          Node(convId = docId.toString, id = id, nodeType = tpe, text = text,
+            conceptId = null, kind = null, actor = null, factType = null,
+            relevance = null, isRatio = false, resolvesIssue = null,
+            disposition = null, caseName = null, citation = null,
+            citationType = null, caseYear = null, confidence = null,
+            anchor = anchor, method = null)
+        val iStart = Vector(100, 600, 1800)(m)
+        val nodes = Vector(
+          mk("a1", "argument", "alphaterm betaterm gammaterm deltaterm",
+            Anchor("d" + docId, 0, 200, "h", "0:0", "x")),
+          mk("c2", "concept", "alphaterm betaterm gammaterm extraword", null),
+          mk("h8", "holding", "alphaterm betaterm fillerword stuffword",
+            Anchor("d" + docId, 9000, 9200, "h", "0:0", "x")),
+          mk("i9", "issue", "alphaterm betaterm gammaterm zetaword",
+            Anchor("d" + docId, iStart, iStart + 200, "h", "0:0", "x")),
+          mk("o1", "outcome", "disposition text here", null))
+        val e0 = EdgeRow(docId.toString,
+          if (f == 1) "e_repair_1" else "e0", "h8", "o1", "determines",
+          "high", "strong", isCritical = false, supportGroupIds = Nil,
+          explanation = null, anchor = null, method = "rule",
+          repairNote = null)
+        val (all, warnings) =
+          graft.kg.extract.OrphanRepair.repair(nodes, Vector(e0))
+        val added = all.filter(_.id != e0.id)
+          .sortBy(_.id.stripPrefix("e_repair_").toInt)
+        added.zipWithIndex.map { case (e, i) =>
+          Seq("edge", (i + 1).toString, e.id, e.source, e.target, e.relation,
+            e.strength, e.explanation).mkString("|")
+        } ++ warnings.zipWithIndex.map { case (w, i) =>
+          Seq("warn", (i + 101).toString, "<null>", "<null>", "<null>",
+            "<null>", "<null>", w).mkString("|")
+        }
+      })
+      def ns(c: org.apache.spark.sql.Column) =
+        when(c === "<null>", lit(null)).otherwise(c)
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(repU(col("doc_id"))).as("r"))
+        .select(col("doc_id"),
+          split(col("r"), "\\|").getItem(0).as("kind"),
+          split(col("r"), "\\|").getItem(1).cast("long").as("seq"),
+          ns(split(col("r"), "\\|").getItem(2)).as("edge_id"),
+          ns(split(col("r"), "\\|").getItem(3)).as("source"),
+          ns(split(col("r"), "\\|").getItem(4)).as("target"),
+          ns(split(col("r"), "\\|").getItem(5)).as("relation"),
+          ns(split(col("r"), "\\|").getItem(6)).as("strength"),
+          split(col("r"), "\\|").getItem(7).as("explanation"))
+        .orderBy(col("doc_id"), col("kind"), col("seq"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3496,6 +3564,50 @@ object SparkEntry {
                 'Issue i1 resolved by holding h1.'
            FROM t WHERE v = 4
          ORDER BY doc_id, chain_id""",
+
+    "q77_repair_engine" ->
+      // full-loop mirror: hand-derived constants. Edge 1 = a1->i9 (overlap 3
+      // + proximity tier by m + claim bonus 1.5; the 3.0-scoring runner-up
+      // is cut by the 3.5 threshold); edges 2-3 = c2's two repairs, both
+      // 3.5 = overlap 3 + the +0.5 bonus EARNED BY a1's repair connecting
+      // a1/i9 (gate passes on 3.0 before the bonus); edge 4 = i9->h8 2.5
+      // after its two better candidates are skipped as already-connected
+      // pairs. Ids shift by one when the planted existing edge occupies
+      // e_repair_1 (the counter's skip loop). Exact explanation strings
+      // (%.1f score + id-derived type names) and per-orphan warnings pinned.
+      """WITH t AS (SELECT doc_id,
+             CAST(doc_id % 3 AS INT) AS m,
+             CAST(doc_id % 2 AS INT) AS f
+           FROM documents)
+         SELECT doc_id, 'edge' AS kind, CAST(1 AS BIGINT) AS seq,
+                'e_repair_' || CAST(1 + f AS VARCHAR) AS edge_id,
+                'a1' AS source, 'i9' AS target, 'addresses' AS relation,
+                'moderate' AS strength,
+                'Orphan repair: score=' || ['6.5', '5.5', '5.0'][m + 1] ||
+                  ', argument->issue' AS explanation
+           FROM t
+         UNION ALL
+         SELECT doc_id, 'edge', 2, 'e_repair_' || CAST(2 + f AS VARCHAR),
+                'c2', 'a1', 'supports', 'weak',
+                'Orphan repair: score=3.5, concept->argument' FROM t
+         UNION ALL
+         SELECT doc_id, 'edge', 3, 'e_repair_' || CAST(3 + f AS VARCHAR),
+                'c2', 'i9', 'addresses', 'weak',
+                'Orphan repair: score=3.5, concept->issue' FROM t
+         UNION ALL
+         SELECT doc_id, 'edge', 4, 'e_repair_' || CAST(4 + f AS VARCHAR),
+                'i9', 'h8', 'addresses', 'weak',
+                'Orphan repair: score=2.5, issue->holding' FROM t
+         UNION ALL
+         SELECT doc_id, 'warn', 101, NULL, NULL, NULL, NULL, NULL,
+                'orphan a1 repaired with 1 edge(s)' FROM t
+         UNION ALL
+         SELECT doc_id, 'warn', 102, NULL, NULL, NULL, NULL, NULL,
+                'orphan c2 repaired with 2 edge(s)' FROM t
+         UNION ALL
+         SELECT doc_id, 'warn', 103, NULL, NULL, NULL, NULL, NULL,
+                'orphan i9 repaired with 1 edge(s)' FROM t
+         ORDER BY doc_id, kind, seq""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
