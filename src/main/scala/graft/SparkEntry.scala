@@ -1692,6 +1692,112 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("kind"), col("seq"))
     }),
 
+    // --- C15 kNN outcome prediction core (eval_retrieval_v2.py:533-583,
+    //     410-427): the REAL CaseRetrieval.predict for ALL FOUR vote
+    //     methods over planted neighbor lists — similarities/labels by
+    //     doc_id arithmetic, a label-less neighbor that majority/weighted
+    //     votes must skip WITHOUT shifting distance-decay ranks, the
+    //     weighted/decay zero-total fallback (0, 0.5) where gate-pred is 0
+    //     even at prob 0.5, and IDF-weighted family aggregation — plus
+    //     weightedJaccard (idf-weighted min/max form, defaulting missing
+    //     idf to 1.0) and counterCosine (zero-magnitude-reads-as-1) as
+    //     scalar columns. All mirrored closed-form. ---
+    "q78_knn_predict" -> ((s, dir) => {
+      val predU = udf((docId: Long) => {
+        import graft.kg.query.CaseRetrieval._
+        val s1 = (docId % 5) / 4.0
+        val l1 = (docId % 2).toInt
+        val s2 = ((docId / 5) % 4) / 4.0
+        val l2 = ((docId / 2) % 2).toInt
+        val no3 = ((docId / 7) % 2).toInt == 1
+        val fam2a = ((docId / 3) % 2).toInt == 0
+        def nb(id: String, sim: Double, label: Option[Int],
+            fams: Seq[String]): Neighbor =
+          Neighbor(id, sim, label, None, Nil, fams, Nil)
+        val neighbors = Seq(
+          nb("n1", s1, Some(l1), Seq("FAMILY_A")),
+          nb("n2", s2, Some(l2),
+            if (fam2a) Seq("FAMILY_A", "FAMILY_B") else Seq("FAMILY_B")),
+          nb("n3", 0.6, if (no3) None else Some(1), Nil))
+        val idf = Map("FAMILY_A" -> 2.0, "FAMILY_B" -> 0.5)
+        val out = Seq("majority_vote", "weighted_vote",
+          "distance_decay_vote", "family_cluster_aggregate")
+          .flatMap { m =>
+            val (p, pr) = predict(neighbors, m, idf)
+            Seq(p.toDouble, pr)
+          }
+        val zv = (docId % 3).toDouble
+        val wj = weightedJaccard(Map("x" -> 1.0, "y" -> 0.5),
+          Map("y" -> 0.3, "z" -> zv), Map("x" -> 2.0, "y" -> 1.5))
+        val p1 = (docId % 3).toInt
+        val q2 = ((docId / 3) % 3).toInt
+        val cc = counterCosine(Map("p" -> p1, "q" -> p1),
+          Map("q" -> q2, "r" -> 1))
+        out ++ Seq(wj, cc)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), predU(col("doc_id")).as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).cast("int").as("pred_mv"),
+          col("r").getItem(1).as("prob_mv"),
+          col("r").getItem(2).cast("int").as("pred_wv"),
+          col("r").getItem(3).as("prob_wv"),
+          col("r").getItem(4).cast("int").as("pred_dd"),
+          col("r").getItem(5).as("prob_dd"),
+          col("r").getItem(6).cast("int").as("pred_fc"),
+          col("r").getItem(7).as("prob_fc"),
+          col("r").getItem(8).as("wjac"),
+          col("r").getItem(9).as("ccos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- C16 blinding + leak scrubbing (eval_graph_vs_raw.py:132-276,
+    //     299-310, 421-435): the REAL PromptBuilders.blindRawText /
+    //     scrubFactText / blindingSanityCheck over four planted documents:
+    //     clean baseline, an outcome sentence the blinder AND the fact
+    //     scrubber must drop (and the sanity check must flag), a
+    //     court-reasoning sentence only the reasoning/leak regexes catch,
+    //     and a HEADNOTE prefix strip. Expected strings derived offline by
+    //     an independent Python replica of the published blinding logic
+    //     (regexes + the 0.50/0.85 truncation cascade + last-period trim)
+    //     and pinned as constants in the mirror. ---
+    "q79_blinding" -> ((s, dir) => {
+      val blindU = udf((docId: Long) => {
+        import graft.kg.query.PromptBuilders._
+        val v = (docId % 4).toInt
+        val k1 = "The parties entered into a lease agreement in the year of grace."
+        val tail = Seq(
+          "The property is situated in the northern district of the town.",
+          "A notice was served on the tenant in the month of March.",
+          "The rent was paid by cheque on the first day of every month.",
+          "The landlord issued several receipts for the amounts received there.",
+          "The premises were used for a retail shop during the whole period.",
+          "Repairs to the roof were carried out at the cost of the tenant.",
+          "The electricity meter was installed in the name of the original owner.")
+        val d1 = "The appeal is dismissed."
+        val d2 = "The court held that the lease was invalid from inception there."
+        val text = v match {
+          case 0 => (k1 +: tail).mkString(" ")
+          case 1 => (Seq(k1, d1) ++ tail).mkString(" ")
+          case 2 => (Seq(k1, d2) ++ tail).mkString(" ")
+          case _ => "HEADNOTE: short summary here\n" + (k1 +: tail).mkString(" ")
+        }
+        val warns = blindingSanityCheck(text, "raw", "k" + v)
+        Seq(blindRawText(text), scrubFactText(text), warns.size.toString,
+          warns.headOption.getOrElse("<null>")).mkString("|")
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 4).cast("int").as("v"),
+          blindU(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("v"),
+          split(col("r"), "\\|").getItem(0).as("blind"),
+          split(col("r"), "\\|").getItem(1).as("scrub"),
+          split(col("r"), "\\|").getItem(2).cast("int").as("sanity_n"),
+          when(split(col("r"), "\\|").getItem(3) === "<null>", lit(null))
+            .otherwise(split(col("r"), "\\|").getItem(3)).as("sanity_first"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3608,6 +3714,95 @@ object SparkEntry {
          SELECT doc_id, 'warn', 103, NULL, NULL, NULL, NULL, NULL,
                 'orphan i9 repaired with 1 edge(s)' FROM t
          ORDER BY doc_id, kind, seq""",
+
+    "q78_knn_predict" ->
+      // vote-method mirror: majority = labeled mean (the label-less third
+      // neighbor shrinks the denominator); weighted/decay = label-weighted
+      // similarity ratios with the decay ranks fixed by neighbor POSITION
+      // (the label-less neighbor still occupies rank 2); both fall back to
+      // (pred 0, prob 0.5) at zero total weight; family aggregation sums
+      // planted per-family IDF weights by label. wjac/ccos reduce to
+      // closed-form: 0.45/(2.75+zv) and p1*q2 over the planted norms with
+      // the zero-magnitude-as-1 rule.
+      """WITH t AS (SELECT doc_id,
+             (CAST(doc_id % 5 AS INT)) / 4.0 AS s1,
+             CAST(doc_id % 2 AS INT) AS l1,
+             (CAST((doc_id // 5) % 4 AS INT)) / 4.0 AS s2,
+             CAST((doc_id // 2) % 2 AS INT) AS l2,
+             CAST((doc_id // 7) % 2 AS INT) AS no3,
+             CAST((doc_id // 3) % 2 AS INT) AS a2,
+             CAST(doc_id % 3 AS INT) AS zv,
+             CAST(doc_id % 3 AS INT) AS p1,
+             CAST((doc_id // 3) % 3 AS INT) AS q2
+           FROM documents),
+         m AS (SELECT *,
+             CAST(l1 + l2 + (1 - no3) AS DOUBLE) / (2 + (1 - no3)) AS prob_mv,
+             l1*s1 + l2*s2 + (1 - no3)*0.6 AS wa_wv,
+             (1-l1)*s1 + (1-l2)*s2 AS wr_wv,
+             l1*s1 + l2*s2*exp(-0.3) + (1 - no3)*0.6*exp(-0.6) AS wa_dd,
+             (1-l1)*s1 + (1-l2)*s2*exp(-0.3) AS wr_dd,
+             l1*2.0 + l2*(CASE WHEN a2 = 0 THEN 2.5 ELSE 0.5 END) AS ta_fc,
+             (1-l1)*2.0 + (1-l2)*(CASE WHEN a2 = 0 THEN 2.5 ELSE 0.5 END) AS tr_fc
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN prob_mv >= 0.5 THEN 1 ELSE 0 END AS pred_mv, prob_mv,
+           CASE WHEN wa_wv + wr_wv = 0 THEN 0
+                WHEN wa_wv / (wa_wv + wr_wv) >= 0.5 THEN 1 ELSE 0
+             END AS pred_wv,
+           CASE WHEN wa_wv + wr_wv = 0 THEN 0.5
+                ELSE wa_wv / (wa_wv + wr_wv) END AS prob_wv,
+           CASE WHEN wa_dd + wr_dd = 0 THEN 0
+                WHEN wa_dd / (wa_dd + wr_dd) >= 0.5 THEN 1 ELSE 0
+             END AS pred_dd,
+           CASE WHEN wa_dd + wr_dd = 0 THEN 0.5
+                ELSE wa_dd / (wa_dd + wr_dd) END AS prob_dd,
+           CASE WHEN ta_fc / (ta_fc + tr_fc) >= 0.5 THEN 1 ELSE 0
+             END AS pred_fc,
+           ta_fc / (ta_fc + tr_fc) AS prob_fc,
+           0.45 / (2.75 + zv) AS wjac,
+           CASE WHEN p1 = 0 THEN 0.0
+                ELSE (p1 * q2) / (p1 * sqrt(2.0) * sqrt(q2*q2 + 1.0))
+             END AS ccos
+         FROM m ORDER BY doc_id""",
+
+    "q79_blinding" ->
+      // expected strings pinned from an INDEPENDENT Python replica of the
+      // published blinding logic (scripts pattern; /tmp/derive_q79.py run
+      // offline): variant 0 = clean 42.5%-prefix truncation + last-period
+      // trim keeps 3 sentences; variant 1 = outcome sentence dropped by the
+      // blinder AND flagged once by the sanity check (ctx window pinned);
+      // variant 2 = court-reasoning sentence dropped by blinder and fact
+      // scrubber; variant 3 = HEADNOTE prefix stripped only in the blind.
+      """WITH k AS (SELECT
+             'The parties entered into a lease agreement in the year of ' ||
+             'grace. The property is situated in the northern district ' ||
+             'of the town.' AS b2,
+             'The parties entered into a lease agreement in the year of ' ||
+             'grace. The property is situated in the northern district ' ||
+             'of the town. A notice was served on the tenant in the ' ||
+             'month of March.' AS b3,
+             ' The rent was paid by cheque on the first day of every ' ||
+             'month. The landlord issued several receipts for the ' ||
+             'amounts received there. The premises were used for a ' ||
+             'retail shop during the whole period. Repairs to the roof ' ||
+             'were carried out at the cost of the tenant. The ' ||
+             'electricity meter was installed in the name of the ' ||
+             'original owner.' AS rest)
+         SELECT d.doc_id, CAST(d.doc_id % 4 AS INT) AS v,
+           CASE CAST(d.doc_id % 4 AS INT)
+             WHEN 2 THEN k.b2
+             WHEN 3 THEN 'short summary here' || chr(10) || k.b3
+             ELSE k.b3 END AS blind,
+           CASE CAST(d.doc_id % 4 AS INT)
+             WHEN 3 THEN 'HEADNOTE: short summary here' || chr(10) ||
+                         k.b3 || k.rest
+             ELSE k.b3 || k.rest END AS scrub,
+           CASE WHEN d.doc_id % 4 = 1 THEN 1 ELSE 0 END AS sanity_n,
+           CASE WHEN d.doc_id % 4 = 1
+             THEN '  [k1] raw: ... year of grace. The appeal is ' ||
+                  'dismissed. The property is situated in ...'
+             ELSE NULL END AS sanity_first
+         FROM documents d, k ORDER BY d.doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
