@@ -1798,6 +1798,97 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- C17 confidence-gated selective prediction (eval_confidence_sweep
+    //     .py:60-104, 110-267, 270-309, 316-332, 417-434, 505-519): the
+    //     REAL ConfidenceSweep sweep/auacc/calibration/strategies over
+    //     planted 6-case prediction sets (one per v = doc_id % 8).
+    //     Expected values pinned from the PUBLISHED script's own functions
+    //     run over the same planted sets offline
+    //     (scripts/gen_confidence_oracle.py) — sweep row at t=0.70,
+    //     AUACC, ECE/Brier both channels, and one cell from each of the
+    //     four strategy families incl. contra_hybrid's routing counts. ---
+    "q80_confidence_sweep" -> ((s, dir) => {
+      val sweepU = udf((docId: Long) => {
+        import graft.kg.eval.ConfidenceSweep._
+        val v = (docId % 8).toInt
+        val cases = (0 until 6).map { i =>
+          CasePred("c" + i, (i + v) % 2,
+            (i + v + (if (i % 3 == 0) 1 else 0)) % 2,
+            0.515 + 0.07 * ((i * 3 + v) % 7),
+            (i * (i + 1) / 2 + v) % 2,
+            0.515 + 0.08 * ((i * 5 + v * 3) % 6))
+        }
+        val sw = sweep(cases, graph = true)
+        val s70 = sw.find(r => math.abs(r.threshold - 0.70) < 1e-9).get
+        val cal = calibration(cases)
+        val strats = strategies(cases)
+        def cell(kind: String, ps: (String, Double)*) =
+          strats.find(st => st.strategy == kind && ps.forall { case (k, x) =>
+            math.abs(st.params(k) - x) < 1e-9 }).get
+        val hyb = cell("hybrid", "t_graph" -> 0.75, "t_raw" -> 0.60)
+        val ens = cell("ensemble", "t_min" -> 0.70)
+        val cg = cell("contra_graph", "t_flip" -> 0.80)
+        val ch = cell("contra_hybrid", "t_high" -> 0.80, "t_low" -> 0.65)
+        Seq(s70.coverage, s70.nAccepted.toDouble, s70.accuracy,
+          s70.accOnAccepted, s70.accOnRejected, auacc(sw),
+          cal.graphEce, cal.rawEce, cal.graphBrier, cal.rawBrier,
+          hyb.coverage, hyb.accuracy, hyb.score,
+          ens.coverage, ens.accuracy, ens.score,
+          cg.accuracy, ch.accuracy,
+          ch.details("graph_trusted").toDouble,
+          ch.details("graph_flipped").toDouble,
+          ch.details("raw_fallback").toDouble)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("v"),
+          sweepU(col("doc_id")).as("r"))
+        .select(Seq(col("doc_id"), col("v")) ++ Seq(
+          "cov70" -> 0, "nacc70" -> 1, "acc70" -> 2, "acca70" -> 3,
+          "accr70" -> 4, "auacc_g" -> 5, "g_ece" -> 6, "r_ece" -> 7,
+          "g_brier" -> 8, "r_brier" -> 9, "hyb_cov" -> 10, "hyb_acc" -> 11,
+          "hyb_score" -> 12, "ens_cov" -> 13, "ens_acc" -> 14,
+          "ens_score" -> 15, "cg_acc" -> 16, "ch_acc" -> 17,
+          "ch_trusted" -> 18, "ch_flipped" -> 19, "ch_fallback" -> 20)
+          .map { case (n, idx) =>
+            val c = col("r").getItem(idx)
+            (if (n == "nacc70" || n.startsWith("ch_t") || n.startsWith("ch_fl")
+              || n.startsWith("ch_fa")) c.cast("int") else c).as(n)
+          }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- C18 retrieval-benchmark metric core (eval_retrieval_v2.py:
+    //     395-413, 475-568): the REAL RetrievalBaselines rankDesc → rrf
+    //     fusion → evaluateMethod (nDCG@5 / AP / P@5) over planted 8-doc
+    //     score channels with deliberate ties (stable (−score, index)
+    //     order) and graded qrels; doc_id % 7 == 0 plants the empty-qrels
+    //     branch (AP/nDCG → 0). Mirrored RELATIONALLY in DuckDB via
+    //     row_number windows — no pinned constants. ---
+    "q81_ranking_metrics" -> ((s, dir) => {
+      val rankU = udf((docId: Long) => {
+        import graft.kg.eval.RetrievalBaselines._
+        val a = Array.tabulate(8)(j => ((j * 3 + docId) % 4).toDouble / 4)
+        val b = Array.tabulate(8)(j => ((j * 5 + docId * 2) % 7).toDouble / 7)
+        def rel(j: Int): Int =
+          if (docId % 7 == 0) 0 else ((j + docId) % 3).toInt
+        val graded = (0 until 8).map(j => j -> rel(j)).filter(_._2 > 0).toMap
+        val binary = graded.map { case (k, _) => k -> 1 }
+        val fused = rrf(Array(a), Array(b))(0)
+        val ev = evaluateMethod(Array(fused), Seq(binary), Seq(graded), k = 5)
+        val m = ev.perQuery.head
+        Seq(m.ndcg, m.ap, m.p10, fused(0), fused(3))
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), rankU(col("doc_id")).as("r"))
+        .select(col("doc_id"),
+          col("r").getItem(0).as("ndcg5"),
+          col("r").getItem(1).as("ap"),
+          col("r").getItem(2).as("p5"),
+          col("r").getItem(3).as("fused0"),
+          col("r").getItem(4).as("fused3"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -3803,6 +3894,274 @@ object SparkEntry {
                   'dismissed. The property is situated in ...'
              ELSE NULL END AS sanity_first
          FROM documents d, k ORDER BY d.doc_id""",
+
+    "q80_confidence_sweep" ->
+      // expected values pinned from the PUBLISHED eval_confidence_sweep.py
+      // functions run over the same planted case sets offline
+      // (scripts/gen_confidence_oracle.py regenerates this block)
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS v,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.5
+             WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.5
+             WHEN 3 THEN 0.6667
+             WHEN 4 THEN 0.6667
+             WHEN 5 THEN 0.6667
+             WHEN 6 THEN 0.5
+             WHEN 7 THEN 0.5
+             END AS cov70,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 3
+             WHEN 1 THEN 3
+             WHEN 2 THEN 3
+             WHEN 3 THEN 4
+             WHEN 4 THEN 4
+             WHEN 5 THEN 4
+             WHEN 6 THEN 3
+             WHEN 7 THEN 3
+             END AS nacc70,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN 0.6667
+             WHEN 2 THEN 0.6667
+             WHEN 3 THEN 0.5
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 0.75
+             WHEN 6 THEN 0.6667
+             WHEN 7 THEN 1.0
+             END AS acc70,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN 1.0
+             WHEN 2 THEN 0.6667
+             WHEN 3 THEN 0.0
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 0.6667
+             WHEN 6 THEN 0.0
+             WHEN 7 THEN 1.0
+             END AS acca70,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.0
+             WHEN 3 THEN 0.6667
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 1.0
+             WHEN 6 THEN 0.6667
+             WHEN 7 THEN 1.0
+             END AS accr70,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.7305
+             WHEN 1 THEN 0.6416
+             WHEN 2 THEN 0.5166
+             WHEN 3 THEN 0.5166
+             WHEN 4 THEN 0.3778
+             WHEN 5 THEN 0.5916
+             WHEN 6 THEN 0.475
+             WHEN 7 THEN 0.7305
+             END AS auacc_g,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.205
+             WHEN 1 THEN 0.1717
+             WHEN 2 THEN 0.3683
+             WHEN 3 THEN 0.3683
+             WHEN 4 THEN 0.4033
+             WHEN 5 THEN 0.2517
+             WHEN 6 THEN 0.2867
+             WHEN 7 THEN 0.205
+             END AS g_ece,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.4817
+             WHEN 1 THEN 0.3217
+             WHEN 2 THEN 0.4817
+             WHEN 3 THEN 0.3217
+             WHEN 4 THEN 0.4817
+             WHEN 5 THEN 0.3217
+             WHEN 6 THEN 0.4817
+             WHEN 7 THEN 0.3217
+             END AS r_ece,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.1608
+             WHEN 1 THEN 0.2114
+             WHEN 2 THEN 0.2604
+             WHEN 3 THEN 0.2686
+             WHEN 4 THEN 0.3257
+             WHEN 5 THEN 0.2179
+             WHEN 6 THEN 0.2718
+             WHEN 7 THEN 0.1608
+             END AS g_brier,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.2966
+             WHEN 1 THEN 0.1366
+             WHEN 2 THEN 0.2966
+             WHEN 3 THEN 0.1366
+             WHEN 4 THEN 0.2966
+             WHEN 5 THEN 0.1366
+             WHEN 6 THEN 0.2966
+             WHEN 7 THEN 0.1366
+             END AS r_brier,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6667
+             WHEN 1 THEN 0.6667
+             WHEN 2 THEN 0.6667
+             WHEN 3 THEN 0.8333
+             WHEN 4 THEN 1.0
+             WHEN 5 THEN 0.8333
+             WHEN 6 THEN 0.8333
+             WHEN 7 THEN 0.8333
+             END AS hyb_cov,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.75
+             WHEN 1 THEN 1.0
+             WHEN 2 THEN 0.5
+             WHEN 3 THEN 0.8
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 0.8
+             WHEN 6 THEN 0.6
+             WHEN 7 THEN 1.0
+             END AS hyb_acc,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6124
+             WHEN 1 THEN 0.8165
+             WHEN 2 THEN 0.4083
+             WHEN 3 THEN 0.7303
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 0.7303
+             WHEN 6 THEN 0.5477
+             WHEN 7 THEN 0.9129
+             END AS hyb_score,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6667
+             WHEN 1 THEN 0.8333
+             WHEN 2 THEN 0.6667
+             WHEN 3 THEN 0.8333
+             WHEN 4 THEN 0.8333
+             WHEN 5 THEN 0.6667
+             WHEN 6 THEN 0.8333
+             WHEN 7 THEN 0.8333
+             END AS ens_cov,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.75
+             WHEN 1 THEN 0.8
+             WHEN 2 THEN 0.5
+             WHEN 3 THEN 0.8
+             WHEN 4 THEN 0.4
+             WHEN 5 THEN 0.75
+             WHEN 6 THEN 0.6
+             WHEN 7 THEN 1.0
+             END AS ens_acc,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6124
+             WHEN 1 THEN 0.7303
+             WHEN 2 THEN 0.4083
+             WHEN 3 THEN 0.7303
+             WHEN 4 THEN 0.3651
+             WHEN 5 THEN 0.6124
+             WHEN 6 THEN 0.5477
+             WHEN 7 THEN 0.9129
+             END AS ens_score,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6667
+             WHEN 1 THEN 0.5
+             WHEN 2 THEN 0.5
+             WHEN 3 THEN 0.3333
+             WHEN 4 THEN 0.3333
+             WHEN 5 THEN 0.3333
+             WHEN 6 THEN 0.3333
+             WHEN 7 THEN 0.6667
+             END AS cg_acc,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.6667
+             WHEN 1 THEN 0.6667
+             WHEN 2 THEN 0.5
+             WHEN 3 THEN 0.5
+             WHEN 4 THEN 0.5
+             WHEN 5 THEN 0.5
+             WHEN 6 THEN 0.6667
+             WHEN 7 THEN 0.6667
+             END AS ch_acc,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 2
+             WHEN 1 THEN 1
+             WHEN 2 THEN 1
+             WHEN 3 THEN 2
+             WHEN 4 THEN 2
+             WHEN 5 THEN 2
+             WHEN 6 THEN 2
+             WHEN 7 THEN 2
+             END AS ch_trusted,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 2
+             WHEN 1 THEN 2
+             WHEN 2 THEN 2
+             WHEN 3 THEN 1
+             WHEN 4 THEN 1
+             WHEN 5 THEN 2
+             WHEN 6 THEN 2
+             WHEN 7 THEN 2
+             END AS ch_flipped,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 2
+             WHEN 1 THEN 3
+             WHEN 2 THEN 3
+             WHEN 3 THEN 3
+             WHEN 4 THEN 3
+             WHEN 5 THEN 2
+             WHEN 6 THEN 2
+             WHEN 7 THEN 2
+             END AS ch_fallback
+         FROM documents ORDER BY doc_id""",
+
+    "q81_ranking_metrics" ->
+      // fully relational mirror: per-channel row_number ranks with the
+      // stable (score DESC, index) tie order, RRF fusion 1/(60+rank),
+      // fused re-rank, DCG@5 with log2 discounts, ideal DCG over graded
+      // rels sorted desc, AP as hits/rank summed over relevant positions,
+      // P@5; doc_id % 7 = 0 rows have empty qrels -> all three metrics 0
+      """WITH g AS (
+           SELECT d.doc_id, t.j,
+             CAST((t.j*3 + d.doc_id) % 4 AS DOUBLE)/4 AS a,
+             CAST((t.j*5 + d.doc_id*2) % 7 AS DOUBLE)/7 AS b,
+             CASE WHEN d.doc_id % 7 = 0 THEN 0
+                  ELSE CAST((t.j + d.doc_id) % 3 AS INT) END AS rel
+           FROM documents d, range(8) t(j)),
+         r AS (SELECT *,
+             row_number() OVER (PARTITION BY doc_id ORDER BY a DESC, j) AS ra,
+             row_number() OVER (PARTITION BY doc_id ORDER BY b DESC, j) AS rb
+           FROM g),
+         f AS (SELECT *, 1.0/(60 + ra) + 1.0/(60 + rb) AS fused FROM r),
+         rf AS (SELECT *,
+             row_number() OVER (PARTITION BY doc_id ORDER BY fused DESC, j) AS rk
+           FROM f),
+         ideal AS (
+           SELECT doc_id,
+             sum(CASE WHEN ir <= 5 THEN rel / (ln(ir + 1)/ln(2)) END) AS idcg
+           FROM (SELECT doc_id, rel,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY rel DESC) AS ir
+                 FROM g WHERE rel > 0)
+           GROUP BY doc_id),
+         adcg AS (
+           SELECT doc_id,
+             sum(CASE WHEN rk <= 5 THEN rel / (ln(rk + 1)/ln(2)) ELSE 0 END) AS dcg,
+             sum(CASE WHEN rk <= 5 AND rel > 0 THEN 1 ELSE 0 END) / 5.0 AS p5,
+             max(CASE WHEN j = 0 THEN fused END) AS fused0,
+             max(CASE WHEN j = 3 THEN fused END) AS fused3
+           FROM rf GROUP BY doc_id),
+         apv AS (
+           SELECT doc_id, sum(CAST(hits AS DOUBLE)/rk) AS sump, count(*) AS nrel
+           FROM (SELECT doc_id, rk,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY rk) AS hits
+                 FROM rf WHERE rel > 0)
+           GROUP BY doc_id)
+         SELECT a.doc_id,
+           CASE WHEN i.idcg IS NULL OR i.idcg = 0 THEN 0.0
+                ELSE a.dcg / i.idcg END AS ndcg5,
+           COALESCE(p.sump / p.nrel, 0.0) AS ap,
+           a.p5, a.fused0, a.fused3
+         FROM adcg a
+         LEFT JOIN ideal i USING (doc_id)
+         LEFT JOIN apv p USING (doc_id)
+         ORDER BY a.doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
