@@ -1889,6 +1889,85 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- significance layer (eval_retrieval_v2.py:1042-1056 paired t-test
+    //     + label, eval_ablation.py:355-380 Brier + McNemar): the REAL
+    //     Significance functions over planted vectors. The t-test p-values
+    //     are mirrored RELATIONALLY via the Student-t CDF's closed forms at
+    //     the planted dfs — df=2 (n=3): p = 1 − |t|/√(2+t²); df=1 (n=2):
+    //     p = 1 − 2·atan(|t|)/π — an independent analytic check of the
+    //     commons-math3 CDF. v=5 plants the allclose guard, v=6 the
+    //     zero-variance shift branch (t=+∞, reported clamped to 1e6),
+    //     v=4 a '*' label, v=2 a finite '**'; McNemar covers n/a,
+    //     n.s., and p<0.05 including the continuity correction. ---
+    "q82_significance" -> ((s, dir) => {
+      val sigU = udf((docId: Long) => {
+        import graft.kg.eval.Significance._
+        val v = (docId % 8).toInt
+        val a = (0 until 3).map(i => 0.5 + 0.1 * ((i * 2 + v) % 5))
+        val b = v match {
+          case 5 => a
+          case 6 => a.map(_ - 0.2)
+          case 4 => a.zipWithIndex.map { case (x, i) => x - (0.2 + 0.1 * i) }
+          case 2 => a.zipWithIndex.map { case (x, i) => x - (0.4 + 0.01 * i) }
+          case _ => (0 until 3).map(i => 0.4 + 0.12 * ((i * 3 + 2 * v) % 4))
+        }
+        val t2 = pairedTTest(a, b)
+        val c = (0 until 2).map(i => 1.0 + 0.3 * ((i + v) % 3))
+        val e = (0 until 2).map(i => 0.8 + 0.25 * ((i * 2 + v) % 3))
+        val t1 = pairedTTest(c, e)
+        val tru = (0 until 10).map(_ % 2)
+        val pa = (0 until 10).map(i =>
+          tru(i) ^ (if ((i + v) % 5 == 0) 1 else 0))
+        val pb = if (v == 3) pa else (0 until 10).map(i =>
+          tru(i) ^ (if ((i * 3 + v) % 7 == 0) 0 else 1))
+        val (chi2, mcsig) = mcnemarTest(pa, pb, tru)
+        val bt = (0 until 5).map(_ % 2)
+        val bp = (0 until 5).map(i => (i + v) % 2)
+        val bc = (0 until 5).map(i => 0.51 + 0.03 * ((i * 2 + v) % 7))
+        val brier = brierScore(bp, bc, bt)
+        def clamp(t: Double) =
+          if (t.isInfinite) 1e6 * math.signum(t) else t
+        (clamp(t2.t), t2.p, significanceLabel(t2.p),
+          clamp(t1.t), t1.p, significanceLabel(t1.p), chi2, mcsig, brier)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("v"),
+          sigU(col("doc_id")).as("r"))
+        .select(col("doc_id"), col("v"),
+          col("r._1").as("t2"), col("r._2").as("p2"), col("r._3").as("lab2"),
+          col("r._4").as("t1"), col("r._5").as("p1"), col("r._6").as("lab1"),
+          col("r._7").as("chi2"), col("r._8").as("mcsig"),
+          col("r._9").as("brier"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- ablation bootstrap CI (eval_ablation.py:382-393): the REAL
+    //     ablationBootstrapCi — numpy RandomState(42) replicated bit-exactly
+    //     by NumpyRandom — over planted 13-case prediction sets. Expected
+    //     (lo, hi) pinned by exec'ing the PUBLISHED bootstrap_ci function
+    //     itself over the same sets (scripts/gen_ablation_oracle.py).
+    //     Computed once per variant (8 rows) then broadcast-joined to
+    //     documents — the LOO-eval fan-out shape at corpus scale. ---
+    "q83_bootstrap_ci" -> ((s, dir) => {
+      val ciU = udf((v: Int) => {
+        val tru = (0 until 13).map(_ % 2)
+        val pa = (0 until 13).map(i =>
+          ((i + v) % 3 % 2) ^ (if ((i + 2 * v) % 4 == 0) 1 else 0))
+        val pb = (0 until 13).map(i => ((i * (i + 1) / 2 + v) % 3) % 2)
+        val (lo, hi) =
+          graft.kg.eval.Significance.ablationBootstrapCi(pa, pb, tru)
+        Seq(lo, hi)
+      })
+      val variants = s.range(8).select(col("id").cast("int").as("v"))
+        .withColumn("ci", ciU(col("v")))
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("v"))
+        .join(broadcast(variants), Seq("v"))
+        .select(col("doc_id"), col("v"),
+          col("ci").getItem(0).as("lo"), col("ci").getItem(1).as("hi"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4162,6 +4241,120 @@ object SparkEntry {
          LEFT JOIN ideal i USING (doc_id)
          LEFT JOIN apv p USING (doc_id)
          ORDER BY a.doc_id""",
+
+    "q82_significance" ->
+      // independent analytic mirror: Student-t CDF closed forms at the
+      // planted dfs (df=2: p = 1-|t|/sqrt(2+t^2); df=1: p = 1-2*atan|t|/pi)
+      // against commons-math3's incomplete-beta CDF; allclose guard via
+      // max|d| = 0, zero-variance shift via var_samp*2 <= 1e-24 (the Scala
+      // varSum guard), McNemar continuity-corrected chi2 with the label on
+      // the UNROUNDED statistic, Brier and chi2 rounded floor(x*10^k+0.5)
+      // (planted values never land on .5 ties — see scripts history)
+      """WITH docs AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS v FROM documents),
+         ab AS (
+           SELECT doc_id, v, r.i,
+             0.5 + 0.1*((r.i*2 + v) % 5) AS a,
+             CASE WHEN v = 5 THEN 0.5 + 0.1*((r.i*2 + v) % 5)
+                  WHEN v = 6 THEN 0.5 + 0.1*((r.i*2 + v) % 5) - 0.2
+                  WHEN v = 4 THEN 0.5 + 0.1*((r.i*2 + v) % 5) - (0.2 + 0.1*r.i)
+                  WHEN v = 2 THEN 0.5 + 0.1*((r.i*2 + v) % 5) - (0.4 + 0.01*r.i)
+                  ELSE 0.4 + 0.12*((r.i*3 + 2*v) % 4) END AS b
+           FROM docs, range(3) r(i)),
+         tt2 AS (
+           SELECT doc_id,
+             CASE WHEN max(abs(a-b)) < 1e-12 THEN 0.0
+                  WHEN var_samp(a-b)*2 <= 1e-24 THEN 1000000.0
+                  ELSE avg(a-b) / (sqrt(var_samp(a-b)) / sqrt(3)) END AS t2
+           FROM ab GROUP BY doc_id),
+         cd AS (
+           SELECT doc_id, v, r.i,
+             1.0 + 0.3*((r.i + v) % 3) AS c,
+             0.8 + 0.25*((r.i*2 + v) % 3) AS e
+           FROM docs, range(2) r(i)),
+         tt1 AS (
+           SELECT doc_id, avg(c-e) / (sqrt(var_samp(c-e)) / sqrt(2)) AS t1
+           FROM cd GROUP BY doc_id),
+         mcr AS (
+           SELECT doc_id, r.i % 2 AS tru,
+             (r.i % 2 + CASE WHEN (r.i + v) % 5 = 0 THEN 1 ELSE 0 END) % 2 AS pa,
+             CASE WHEN v = 3
+                  THEN (r.i % 2 + CASE WHEN (r.i + v) % 5 = 0 THEN 1 ELSE 0 END) % 2
+                  ELSE (r.i % 2 + CASE WHEN (r.i*3 + v) % 7 = 0 THEN 0 ELSE 1 END) % 2
+                  END AS pb
+           FROM docs, range(10) r(i)),
+         mc AS (
+           SELECT doc_id,
+             sum(CASE WHEN pa = tru AND pb <> tru THEN 1 ELSE 0 END) AS arbw,
+             sum(CASE WHEN pa <> tru AND pb = tru THEN 1 ELSE 0 END) AS awbr
+           FROM mcr GROUP BY doc_id),
+         br AS (
+           SELECT doc_id,
+             floor(avg((1 - pt)*(1 - pt)) * 10000 + 0.5)/10000 AS brier
+           FROM (SELECT doc_id,
+                   CASE WHEN (r.i + v) % 2 = r.i % 2
+                        THEN 0.51 + 0.03*((r.i*2 + v) % 7)
+                        ELSE 1 - (0.51 + 0.03*((r.i*2 + v) % 7)) END AS pt
+                 FROM docs, range(5) r(i))
+           GROUP BY doc_id)
+         SELECT d.doc_id, d.v,
+           tt2.t2,
+           CASE WHEN tt2.t2 = 0.0 THEN 1.0
+                WHEN tt2.t2 = 1000000.0 THEN 0.0
+                ELSE 1 - abs(tt2.t2)/sqrt(2 + tt2.t2*tt2.t2) END AS p2,
+           CASE WHEN (CASE WHEN tt2.t2 = 0.0 THEN 1.0
+                           WHEN tt2.t2 = 1000000.0 THEN 0.0
+                           ELSE 1 - abs(tt2.t2)/sqrt(2 + tt2.t2*tt2.t2) END) < 0.01
+                THEN '**'
+                WHEN (CASE WHEN tt2.t2 = 0.0 THEN 1.0
+                           WHEN tt2.t2 = 1000000.0 THEN 0.0
+                           ELSE 1 - abs(tt2.t2)/sqrt(2 + tt2.t2*tt2.t2) END) < 0.05
+                THEN '*' ELSE 'n.s.' END AS lab2,
+           tt1.t1,
+           1 - 2*atan(abs(tt1.t1))/pi() AS p1,
+           CASE WHEN 1 - 2*atan(abs(tt1.t1))/pi() < 0.01 THEN '**'
+                WHEN 1 - 2*atan(abs(tt1.t1))/pi() < 0.05 THEN '*'
+                ELSE 'n.s.' END AS lab1,
+           CASE WHEN mc.arbw + mc.awbr = 0 THEN 0.0
+                ELSE floor(CAST((abs(mc.arbw - mc.awbr) - 1)
+                              * (abs(mc.arbw - mc.awbr) - 1) AS DOUBLE)
+                           / (mc.arbw + mc.awbr) * 1000 + 0.5)/1000 END AS chi2,
+           CASE WHEN mc.arbw + mc.awbr = 0 THEN 'n/a'
+                WHEN CAST((abs(mc.arbw - mc.awbr) - 1)
+                        * (abs(mc.arbw - mc.awbr) - 1) AS DOUBLE)
+                     / (mc.arbw + mc.awbr) > 3.841 THEN 'p<0.05'
+                ELSE 'p>=0.05 (n.s.)' END AS mcsig,
+           br.brier
+         FROM docs d
+         JOIN tt2 USING (doc_id) JOIN tt1 USING (doc_id)
+         JOIN mc USING (doc_id) JOIN br USING (doc_id)
+         ORDER BY d.doc_id""",
+
+    "q83_bootstrap_ci" ->
+      // expected (lo, hi) pinned by exec'ing the PUBLISHED bootstrap_ci
+      // (eval_ablation.py:382-393) verbatim over the same planted sets
+      // (scripts/gen_ablation_oracle.py regenerates this block)
+      """SELECT doc_id, CAST(doc_id % 8 AS INT) AS v,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN -0.4615
+             WHEN 1 THEN -0.3846
+             WHEN 2 THEN -0.5385
+             WHEN 3 THEN -0.3077
+             WHEN 4 THEN -0.3846
+             WHEN 5 THEN -0.3846
+             WHEN 6 THEN -0.4615
+             WHEN 7 THEN -0.3846
+             END AS lo,
+           CASE CAST(doc_id % 8 AS INT)
+             WHEN 0 THEN 0.1538
+             WHEN 1 THEN 0.2308
+             WHEN 2 THEN 0.2308
+             WHEN 3 THEN 0.1538
+             WHEN 4 THEN 0.3846
+             WHEN 5 THEN 0.2308
+             WHEN 6 THEN 0.1538
+             WHEN 7 THEN 0.2308
+             END AS hi
+         FROM documents ORDER BY doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
