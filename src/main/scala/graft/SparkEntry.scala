@@ -1968,6 +1968,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- C14 density statistics (cross_domain_density_validation.py:
+    //     103-219): the REAL DensityValidation pointBiserial (Pearson r +
+    //     t + p), correctVsIncorrect (Student t, pooled Cohen's d), and
+    //     quartileAnalysis (np.percentile edges → digitize → Q1-vs-Q4
+    //     two-proportion z) over planted 4-/8-element groups, one per
+    //     v = doc_id % 8 — the reference's own driver-side SAMPLE_N stats
+    //     design (16 tiny aggregations, bounded regardless of sf). The
+    //     df=2 t-test p-values are mirrored with the closed-form Student
+    //     CDF, r/means/z relationally via corr()/quantile_cont; the
+    //     normal-CDF z p-value is pinned via stdlib erfc
+    //     (scripts/gen_density_stats_oracle.py). v=7 plants the
+    //     degenerate-pPool branch; pb_t == cv_t is the point-biserial ↔
+    //     two-sample-t identity, asserted for free by the mirror. ---
+    "q84_density_stats" -> ((s, dir) => {
+      import s.implicits._
+      import graft.kg.eval.DensityValidation
+      val variantRows = (0 until 8).map { v =>
+        val xs = (0 until 4).map(i => 1.0 + 0.37 * ((i * 2 + v) % 5) + 0.11 * i)
+        val df4 = (0 until 4).map(i => (i % 2, xs(i))).toDF("acc", "x")
+        val c = DensityValidation.pointBiserial(df4, "acc", "x")
+        val g = DensityValidation.correctVsIncorrect(df4, "acc", "x")
+        val d8 = (0 until 8).map(i => 2.0 + 0.53 * ((i * 3 + v) % 7) + 0.07 * i).toArray
+        val a8 = (if (v == 7) Seq.fill(8)(0)
+                  else (0 until 8).map(i => ((i + v) % 3) % 2)).toArray
+        val qr = DensityValidation.quartileAnalysis(d8, a8)
+        // 6-dp floor(x*1e6+0.5) in BOTH engines: the canonical compare
+        // sorts rows by the alphabetically-first double column, so raw
+        // ulp-level engine differences would misalign rows across the
+        // variants that share a cv_d value
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        (v, r6(c.r), r6(c.t), r6(c.p), r6(g.meanCorrect),
+          r6(g.meanIncorrect), r6(g.t), r6(g.p), r6(g.d),
+          r6(qr.delta), r6(qr.z), r6(qr.p))
+      }
+      val variants = variantRows.toDF("v", "pb_r", "pb_t", "pb_p", "cv_mc",
+        "cv_mi", "cv_t", "cv_p", "cv_d", "q_delta", "q_z", "q_p")
+      pq(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).cast("int").as("v"))
+        .join(broadcast(variants), Seq("v"))
+        .select(col("doc_id"), col("v"), col("pb_r"), col("pb_t"),
+          col("pb_p"), col("cv_mc"), col("cv_mi"), col("cv_t"), col("cv_p"),
+          col("cv_d"), col("q_delta"), col("q_z"), col("q_p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4355,6 +4400,88 @@ object SparkEntry {
              WHEN 7 THEN 0.2308
              END AS hi
          FROM documents ORDER BY doc_id""",
+
+    "q84_density_stats" ->
+      // pb/cv mirrored relationally (corr, var_samp, df=2 closed-form t
+      // CDF); quartile edges via quantile_cont (np.percentile linear),
+      // digitize = count of edges <= x, two-proportion z; the z p-value
+      // constants come from stdlib erfc(|z|/sqrt 2) offline
+      // (scripts/gen_density_stats_oracle.py regenerates them)
+      """WITH docs AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS v FROM documents),
+         src AS (
+           SELECT doc_id, v, r.i % 2 AS acc,
+             1.0 + 0.37*((r.i*2 + v) % 5) + 0.11*r.i AS x
+           FROM docs, range(4) r(i)),
+         pb AS (
+           SELECT doc_id, corr(CAST(acc AS DOUBLE), x) AS r,
+             avg(CASE WHEN acc = 1 THEN x END) AS m1,
+             avg(CASE WHEN acc = 0 THEN x END) AS m0,
+             var_samp(CASE WHEN acc = 1 THEN x END) AS v1,
+             var_samp(CASE WHEN acc = 0 THEN x END) AS v0
+           FROM src GROUP BY doc_id),
+         pbt AS (
+           SELECT doc_id, r, m1, m0,
+             r * sqrt(2.0 / greatest(1e-300, 1.0 - r*r)) AS pt,
+             (m1 - m0) / sqrt(((v1 + v0) / 2.0) * (0.5 + 0.5)) AS ct,
+             CASE WHEN (v1 + v0) / 2.0 = 0 THEN 0.0
+                  ELSE (m1 - m0) / sqrt((v1 + v0) / 2.0) END AS cd
+           FROM pb),
+         qd AS (
+           SELECT doc_id, v, r.i,
+             2.0 + 0.53*((r.i*3 + v) % 7) + 0.07*r.i AS d,
+             CASE WHEN v = 7 THEN 0 ELSE ((r.i + v) % 3) % 2 END AS acc
+           FROM docs, range(8) r(i)),
+         qe AS (
+           SELECT doc_id, quantile_cont(d, 0.25) AS e1,
+             quantile_cont(d, 0.50) AS e2, quantile_cont(d, 0.75) AS e3
+           FROM qd GROUP BY doc_id),
+         qb AS (
+           SELECT qd.doc_id, qd.acc,
+             (CASE WHEN e1 <= d THEN 1 ELSE 0 END)
+             + (CASE WHEN e2 <= d THEN 1 ELSE 0 END)
+             + (CASE WHEN e3 <= d THEN 1 ELSE 0 END) AS bin
+           FROM qd JOIN qe USING (doc_id)),
+         qq AS (
+           SELECT doc_id,
+             sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS n1,
+             avg(CASE WHEN bin = 0 THEN CAST(acc AS DOUBLE) END) AS p1,
+             sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS n4,
+             avg(CASE WHEN bin = 3 THEN CAST(acc AS DOUBLE) END) AS p4
+           FROM qb GROUP BY doc_id)
+         SELECT d.doc_id, d.v,
+           floor(pbt.r*1000000 + 0.5)/1000000 AS pb_r,
+           floor(pbt.pt*1000000 + 0.5)/1000000 AS pb_t,
+           floor((1 - abs(pbt.pt)/sqrt(2 + pbt.pt*pbt.pt))*1000000 + 0.5)
+             /1000000 AS pb_p,
+           floor(pbt.m1*1000000 + 0.5)/1000000 AS cv_mc,
+           floor(pbt.m0*1000000 + 0.5)/1000000 AS cv_mi,
+           floor(pbt.ct*1000000 + 0.5)/1000000 AS cv_t,
+           floor((1 - abs(pbt.ct)/sqrt(2 + pbt.ct*pbt.ct))*1000000 + 0.5)
+             /1000000 AS cv_p,
+           floor(pbt.cd*1000000 + 0.5)/1000000 AS cv_d,
+           floor((qq.p4 - qq.p1)*1000000 + 0.5)/1000000 AS q_delta,
+           floor((CASE
+             WHEN (qq.p1*qq.n1 + qq.p4*qq.n4) / (qq.n1 + qq.n4) <= 0.0
+               OR (qq.p1*qq.n1 + qq.p4*qq.n4) / (qq.n1 + qq.n4) >= 1.0
+             THEN 0.0
+             ELSE (qq.p4 - qq.p1)
+               / sqrt(((qq.p1*qq.n1 + qq.p4*qq.n4) / (qq.n1 + qq.n4))
+                 * (1 - (qq.p1*qq.n1 + qq.p4*qq.n4) / (qq.n1 + qq.n4))
+                 * (1.0/qq.n1 + 1.0/qq.n4)) END)*1000000 + 0.5)
+             /1000000 AS q_z,
+           CASE d.v
+             WHEN 0 THEN 1.0
+             WHEN 1 THEN 1.0
+             WHEN 2 THEN 0.248213
+             WHEN 3 THEN 1.0
+             WHEN 4 THEN 1.0
+             WHEN 5 THEN 0.248213
+             WHEN 6 THEN 0.248213
+             WHEN 7 THEN 1.0
+             END AS q_p
+         FROM docs d
+         JOIN pbt USING (doc_id) JOIN qq USING (doc_id)
+         ORDER BY d.doc_id""",
 
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
