@@ -303,8 +303,12 @@ object Bench {
     }.mkString("{", ",", "}")
     println(s"""{"phase":"queries","queries":$qs,"query_detail":$qDetail}""")
 
+    // low/high contributions use the SAME min-over-pre+shuffled values the
+    // kg block ships as low.sec/high.sec, so kg components + queries always
+    // reconstruct the total (pre-only minima here would leave a pre-vs-
+    // shuffled gap whenever a shuffled rep wins, as in the r6_run4 stall)
     val total = ok.map(_._2).sum + extractOnceSec + tfidfIdx._1 +
-      base2.min + low.min + high.min + matSec
+      base2.min + lowMin + highMin + matSec
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec",""" +

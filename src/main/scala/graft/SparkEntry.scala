@@ -19,6 +19,33 @@ object SparkEntry {
   private def pq(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Planted q69/q72 document: closed-form paragraphs/sentences by doc_id
+    * arithmetic (word + " pad"×k + "." joined by " " inside a paragraph,
+    * paragraphs joined by "\n\n"). Shared so the two queries cannot drift
+    * apart — but it MUST also stay byte-identical with the q69 AND q72
+    * DuckDB CTE mirrors, which each re-derive this text in SQL. */
+  def plantedSegDoc(docId: Long): String = {
+    val words = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon")
+    val nP = (docId % 3).toInt + 1
+    val sb = new StringBuilder
+    var p = 0
+    while (p < nP) {
+      if (p > 0) sb.append("\n\n")
+      val nS = ((docId + p) % 3).toInt + 1
+      var t = 0
+      while (t < nS) {
+        if (t > 0) sb.append(' ')
+        sb.append(words(((docId + 2 * p + 3 * t) % 5).toInt))
+        var k = ((docId + p + t) % 3).toInt
+        while (k > 0) { sb.append(" pad"); k -= 1 }
+        sb.append('.')
+        t += 1
+      }
+      p += 1
+    }
+    sb.toString
+  }
+
   /** Deterministic transcripts table derived only from the sf dir's document
     * count (scale-proportional, no external data). */
   private def transcripts(s: SparkSession, dir: String): DataFrame = {
@@ -1214,25 +1241,7 @@ object SparkEntry {
     //     sentence of a paragraph — the mirror reproduces that contract. ---
     "q69_segment_offsets" -> ((s, dir) => {
       val segU = udf((docId: Long) => {
-        val words = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon")
-        val nP = (docId % 3).toInt + 1
-        val sb = new StringBuilder
-        var p = 0
-        while (p < nP) {
-          if (p > 0) sb.append("\n\n")
-          val nS = ((docId + p) % 3).toInt + 1
-          var t = 0
-          while (t < nS) {
-            if (t > 0) sb.append(' ')
-            sb.append(words(((docId + 2 * p + 3 * t) % 5).toInt))
-            var k = ((docId + p + t) % 3).toInt
-            while (k > 0) { sb.append(" pad"); k -= 1 }
-            sb.append('.')
-            t += 1
-          }
-          p += 1
-        }
-        val doc = graft.kg.text.Segmenter.segment(sb.toString, "d" + docId)
+        val doc = graft.kg.text.Segmenter.segment(plantedSegDoc(docId), "d" + docId)
         (doc.paragraphs ++ doc.sentences).map(seg =>
           Seq(seg.paraIndex, seg.sentIndex, seg.startChar, seg.endChar)
             .mkString(",") + "|" + seg.text)
@@ -1299,25 +1308,7 @@ object SparkEntry {
     //     segment table; hash = sha256 prefix). ---
     "q72_anchor_repair" -> ((s, dir) => {
       val mkU = udf((docId: Long) => {
-        val words = Array("Alpha", "Beta", "Gamma", "Delta", "Epsilon")
-        val nP = (docId % 3).toInt + 1
-        val sb = new StringBuilder
-        var p = 0
-        while (p < nP) {
-          if (p > 0) sb.append("\n\n")
-          val nS = ((docId + p) % 3).toInt + 1
-          var t = 0
-          while (t < nS) {
-            if (t > 0) sb.append(' ')
-            sb.append(words(((docId + 2 * p + 3 * t) % 5).toInt))
-            var k = ((docId + p + t) % 3).toInt
-            while (k > 0) { sb.append(" pad"); k -= 1 }
-            sb.append('.')
-            t += 1
-          }
-          p += 1
-        }
-        val doc = graft.kg.text.Segmenter.segment(sb.toString, "d" + docId)
+        val doc = graft.kg.text.Segmenter.segment(plantedSegDoc(docId), "d" + docId)
         val s00 = doc.sentences.head.text // sentence (0,0) == doc prefix
         val lastSent = doc.sentences.last
         val D = graft.kg.extract.DocExtractor
@@ -4293,8 +4284,12 @@ object SparkEntry {
       // against commons-math3's incomplete-beta CDF; allclose guard via
       // max|d| = 0, zero-variance shift via var_samp*2 <= 1e-24 (the Scala
       // varSum guard), McNemar continuity-corrected chi2 with the label on
-      // the UNROUNDED statistic, Brier and chi2 rounded floor(x*10^k+0.5)
-      // (planted values never land on .5 ties — see scripts history)
+      // the UNROUNDED statistic. HAZARD: Brier/chi2 round half-EVEN in the
+      // Scala operator (math.rint) but half-UP here (floor(x*10^k+0.5));
+      // they agree only because the planted values never land on .5 ties
+      // (chi2*1000 quotients with denom 1..8 cannot hit .5; brier*1e4 is an
+      // integer sum / 5). Retuning the planted %-cycles or the conf grid
+      // requires re-checking tie distance at both rounding scales.
       """WITH docs AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS v FROM documents),
          ab AS (
            SELECT doc_id, v, r.i,

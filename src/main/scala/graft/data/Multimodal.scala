@@ -51,11 +51,15 @@ object Multimodal {
       // (which would silently change unrelated ImageIO users in the JVM).
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
-      // ImageIO.read(ImageInputStream) closes the stream itself (JDK source:
-      // finally { reader.dispose(); stream.close(); }) — a second close here
-      // would throw and masquerade as an undecodable payload
+      // ImageIO.read(ImageInputStream) closes the stream itself on the
+      // reader path (JDK source: finally { reader.dispose(); stream.close() })
+      // — a second close after a successful read would throw and masquerade
+      // as an undecodable payload. But the NO-REGISTERED-READER path returns
+      // null BEFORE that try/finally, leaving the stream open: close it here
+      // or a partition of corrupt/unknown-format payloads leaks one
+      // in-memory cache stream per row until GC.
       val img = javax.imageio.ImageIO.read(iis)
-      if (img == null) None
+      if (img == null) { iis.close(); None }
       else {
         val w = img.getWidth
         val h = img.getHeight

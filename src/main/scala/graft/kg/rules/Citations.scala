@@ -254,8 +254,9 @@ object Citations {
     val pats = patternsFor(jurisdiction)
     if (text == null || text.isEmpty || pats.isEmpty) return Nil
     // ECHR has digit-free patterns (Name v. Name) → full scan; IN patterns
-    // all contain a literal anchor → anchor-window region scan; TR patterns
-    // all require digits → digit-window scan (exact, see digitWindows)
+    // all contain a literal anchor → anchor-window region scan; TR scans
+    // digit windows PLUS court-stem windows (Yargıtay/Danıştay mentions are
+    // digit-free — digit windows alone miss them, see turkishCourtWindows)
     val j = jurisdiction.toLowerCase.trim
     if (j == "echr") extractFull(text, pats)
     else if (j == "in" || j == "india") {
