@@ -205,15 +205,21 @@ object Citations {
     * digit-free "Yargıtay … Dairesi" mention sitting > R chars from any
     * number — a divergence from the full-scan semantics the windows must
     * reproduce exactly. This scans for the two court stems under the same
-    * case folding the patterns use (A-Z→a-z, I/İ/ı→i, Ş→ş; the patterns
-    * spell `Yarg[ıi]tay` / `Dan[ıi][şs]tay`) and windows [stem−8, stem+R]
-    * around each occurrence: a match can only START at a stem, and 8 chars
-    * of left context keep \b honest at the window edge. */
+    * case folding the patterns use (A-Z→a-z, I/İ/ı→i, Ş→ş, plus the one
+    * non-obvious java.util.regex CASE_INSENSITIVE|UNICODE_CASE equivalence
+    * that folds into these stems: long-s U+017F 'ſ'→'s'; the patterns
+    * spell `Yarg[ıi]tay` / `Dan[ıi][şs]tay`, and no other Unicode char
+    * case-folds to the stem letters y/a/r/g/i/t/d/n/s/ş under
+    * Character.toUpperCase/toLowerCase, which is what the regex engine
+    * compares) and windows [stem−8, stem+R] around each occurrence: a
+    * match can only START at a stem, and 8 chars of left context keep \b
+    * honest at the window edge. */
   private def turkishCourtWindows(text: String, radius: Int = 200): List[(Int, Int)] = {
     val n = text.length
     @inline def fold(c: Char): Char = c match {
       case 'I' | 'İ' | 'ı' => 'i'
       case 'Ş' => 'ş'
+      case 'ſ' => 's' // U+017F LONG S: regex case-folds it to 's'
       case c if c >= 'A' && c <= 'Z' => (c + 32).toChar
       case c => c
     }

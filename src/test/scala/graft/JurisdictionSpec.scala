@@ -73,5 +73,11 @@ class JurisdictionSpec extends AnyFunSuite {
     val near = "sayi 12345 " + "Yargıtay Ceza Dairesi karari dikkate alinmistir."
     val nearHits = graft.kg.rules.Citations.extract(near, "tr")
     assert(nearHits.exists(_.citationType == "tr_yargitay"))
+    // U+017F LONG S: regex CASE_INSENSITIVE|UNICODE_CASE folds 'ſ' to 's',
+    // so a digit-free "Danıſtay …" matches a full scan — the stem fold must
+    // window it too (the last case-fold equivalence the fold handles)
+    val longS = filler + "Danıſtay Daire gorusu de benzerdir." + filler
+    val longSHits = graft.kg.rules.Citations.extract(longS, "tr")
+    assert(longSHits.exists(_.citationType == "tr_danistay"), longSHits.toString)
   }
 }
