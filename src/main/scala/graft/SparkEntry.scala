@@ -4932,4 +4932,103 @@ object SparkEntry {
          GROUP BY qt.query_id, tf.doc_id
          ORDER BY query_id, doc_id"""
   )
+
+  /** Oracle evidence grade, one grep-able line per oracleSql entry
+    * (round-6 VERDICT "Next round" #5). Two grades:
+    *  - "closed-form SQL mirror": the DuckDB SQL re-derives the expected
+    *    values itself — relationally over the parquet inputs, or by
+    *    replaying the planted-input formula / topology inline (literal
+    *    constants, where present, are hand-derived from the planted
+    *    construction, independent of both engines — e.g. q76/q77).
+    *  - "published-script replay pin": the SQL compares against constants
+    *    produced by executing the PUBLISHED reference script's own
+    *    functions (or a documented independent replica, q79) offline —
+    *    scripts/gen_*_oracle.py. Engine-independent by construction, but
+    *    a replay pin rather than an in-SQL re-derivation.
+    * SparkEntrySpec asserts keySet == oracleSql.keySet. */
+  val oracleGrade: Map[String, String] = Map(
+    "q01_pricing_summary" -> "closed-form SQL mirror",
+    "q02_filter_project" -> "closed-form SQL mirror",
+    "q03_exact_dedup" -> "closed-form SQL mirror",
+    "q04_dedup_argmax" -> "closed-form SQL mirror",
+    "q05_orphan_antijoin" -> "closed-form SQL mirror",
+    "q06_window_topk" -> "closed-form SQL mirror",
+    "q07_join_agg" -> "closed-form SQL mirror",
+    "q08_token_stats" -> "closed-form SQL mirror",
+    "q09_lang_profile" -> "closed-form SQL mirror",
+    "q10_fingerprint" -> "closed-form SQL mirror",
+    "q11_event_hourly" -> "closed-form SQL mirror",
+    "q12_user_rollup" -> "closed-form SQL mirror",
+    "q13_order_years" -> "closed-form SQL mirror",
+    "q14_embed_stats" -> "closed-form SQL mirror",
+    "q15_quality_score" -> "closed-form SQL mirror",
+    "q16_embed_topk" -> "closed-form SQL mirror",
+    "q17_minhash_dedup" -> "closed-form SQL mirror",
+    "q18_simhash_pairs" -> "closed-form SQL mirror",
+    "q19_fingerprint_pairs" -> "closed-form SQL mirror",
+    "q20_cosine_near_dup" -> "closed-form SQL mirror",
+    "q21_lang_id" -> "closed-form SQL mirror",
+    "q22_ivf_topk" -> "closed-form SQL mirror",
+    "q23_media_features" -> "closed-form SQL mirror",
+    "q24_bm25" -> "closed-form SQL mirror",
+    "q25_tfidf_topk" -> "closed-form SQL mirror",
+    "q26_commons_tally" -> "closed-form SQL mirror",
+    "q27_embedding_dedup" -> "closed-form SQL mirror",
+    "q28_token_jaccard" -> "closed-form SQL mirror",
+    "q29_regex_qrels" -> "closed-form SQL mirror",
+    "q31_citation_manifest" -> "closed-form SQL mirror",
+    "q32_density_quartiles" -> "closed-form SQL mirror",
+    "q33_negativity" -> "closed-form SQL mirror",
+    "q34_concept_score" -> "closed-form SQL mirror",
+    "q35_norm_hash" -> "closed-form SQL mirror",
+    "q36_turkish_fold" -> "closed-form SQL mirror",
+    "q37_reachability" -> "closed-form SQL mirror",
+    "q38_relation_coerce" -> "closed-form SQL mirror",
+    "q39_quality_tier" -> "closed-form SQL mirror",
+    "q40_actor_coerce" -> "closed-form SQL mirror",
+    "q41_relation_validate" -> "closed-form SQL mirror",
+    "q42_concept_match" -> "closed-form SQL mirror",
+    "q43_doc_window" -> "closed-form SQL mirror",
+    "q44_quote_align" -> "closed-form SQL mirror",
+    "q45_toulmin" -> "closed-form SQL mirror",
+    "q46_holding_support" -> "closed-form SQL mirror",
+    "q47_counterfactual" -> "closed-form SQL mirror",
+    "q48_js_members" -> "closed-form SQL mirror",
+    "q49_graph_quality" -> "closed-form SQL mirror",
+    "q50_keyphrase_parse" -> "closed-form SQL mirror",
+    "q51_requires_parse" -> "closed-form SQL mirror",
+    "q52_image_decode" -> "closed-form SQL mirror",
+    "q53_assemble_order" -> "closed-form SQL mirror",
+    "q54_sanitize_id" -> "closed-form SQL mirror",
+    "q55_overlap_dedup" -> "closed-form SQL mirror",
+    "q56_legit_orphan" -> "closed-form SQL mirror",
+    "q57_canonical_rewrite" -> "closed-form SQL mirror",
+    "q58_scheme_norm" -> "closed-form SQL mirror",
+    "q59_relation_repair" -> "closed-form SQL mirror",
+    "q60_contains_phrase" -> "closed-form SQL mirror",
+    "q61_resolve_issue" -> "closed-form SQL mirror",
+    "q62_outcome_link" -> "closed-form SQL mirror",
+    "q63_edge_dedup" -> "closed-form SQL mirror",
+    "q64_graph_validate" -> "closed-form SQL mirror",
+    "q65_requirement_sat" -> "closed-form SQL mirror",
+    "q66_automaton_scan" -> "closed-form SQL mirror",
+    "q67_echr_citations" -> "closed-form SQL mirror",
+    "q68_turkish_citations" -> "closed-form SQL mirror",
+    "q69_segment_offsets" -> "closed-form SQL mirror",
+    "q70_cluster_argmax" -> "closed-form SQL mirror",
+    "q72_anchor_repair" -> "closed-form SQL mirror",
+    "q73_repair_score" -> "closed-form SQL mirror",
+    "q74_justification_sets" -> "closed-form SQL mirror",
+    "q75_cluster_edges" -> "closed-form SQL mirror",
+    "q76_reasoning_chains" -> "closed-form SQL mirror",
+    "q77_repair_engine" -> "closed-form SQL mirror",
+    "q78_knn_predict" -> "closed-form SQL mirror",
+    "q79_blinding" -> "published-script replay pin",
+    "q80_confidence_sweep" -> "published-script replay pin",
+    "q81_ranking_metrics" -> "closed-form SQL mirror",
+    "q82_significance" -> "closed-form SQL mirror",
+    "q83_bootstrap_ci" -> "published-script replay pin",
+    "q84_density_stats" -> "closed-form SQL mirror"
+  )
+
 }
