@@ -14,10 +14,13 @@ import org.apache.spark.sql.SparkSession
   * N-vs-4N-executor criterion (no real cluster available here).
   *
   * Variance discipline (the sandbox VM drifts 20-40 % between runs):
-  * every per-query number is a MIN over `qReps` reps, and the kg pre/shuffled
-  * comparison interleaves ≥5 rep pairs in one session and reports min,
-  * median and full range per path — a single VM stall can no longer fabricate
-  * a regression.
+  * every per-query number is a MIN over `qReps` reps, and the kg phase runs
+  * the PARALLELISM LEVELS round-robin — each cycle times a calibration
+  * kernel, then 2c, low and high back to back — so a degraded VM span
+  * inflates every level of its cycle together instead of poisoning one
+  * level's phase block asymmetrically (the r5/r6 driver-artifact failure
+  * mode). Min/median/range per level, per-cycle efficiencies and the
+  * per-cycle calibration kernel all ship in the JSON.
   *
   * Prints ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
@@ -88,52 +91,76 @@ object Bench {
     }
   }
 
-  /** Timing at one parallelism level for BOTH read paths, reps INTERLEAVED
-    * (pre, shuffled, pre, shuffled, …) inside one session so run-to-run
-    * drift (thermal/GC/page-cache — the sandbox VM shows 20-40 % variance)
-    * hits both paths equally instead of biasing whichever ran later.
-    * Returns (preStats, shuffledStats, triples). */
-  private def kgRunPair(cores: Int, transcriptsPath: String, reps: Int = 5,
-                        shuffledToo: Boolean = true): (PathStats, Option[PathStats], Long) = {
+  /** Pure-JVM single-thread calibration kernel (register-only xorshift mix,
+    * no memory traffic, no Spark) timed once per cycle: a session-health
+    * index shipped per-cycle in the JSON. A calm VM prints near-constant
+    * values; a degraded span shows up as an inflated calib rep right next
+    * to the kg reps it inflated, so a reader can normalize — or discount —
+    * any cycle from the artifact alone. */
+  private def calibKernel(iters: Long = 400_000_000L): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // data-dependent sink keeps the loop from being eliminated
+    if (x == 0L) System.err.println("calib sink")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** One timed visit to one parallelism level inside a cycle: fresh
+    * local[cores] session, tiny warm-up (session-level lazy init — JIT and
+    * the Janino codegen cache are JVM-global and already hot), then ONE
+    * pre-partitioned rep and (low/high levels) ONE shuffled rep.
+    * Returns (preSec, shuffledSec, triples). */
+  private def levelVisit(cores: Int, transcriptsPath: String,
+                         shuffledToo: Boolean): (Double, Option[Double], Long) = {
     val spark = session(cores)
     try {
       import spark.implicits._
-      // warm-up: JIT + codegen + regex compilation, excluded from timing
-      KgPipeline.triplesDirect(spark, TranscriptGen.turns(1000, 40).toDF()).count()
-      // pinned one-file-per-task read (asserts partitions == files)
+      KgPipeline.triplesDirect(spark, TranscriptGen.turns(120, 40).toDF()).count()
       val preT = KgPipeline.readConversationPartitioned(spark, transcriptsPath)
-      val shufT = spark.read.parquet(transcriptsPath)
-      val preS = Vector.newBuilder[Double]
-      val shufS = Vector.newBuilder[Double]
-      var triples = 0L
-      for (_ <- 1 to reps) {
-        val (ps, pt) = kgOnce(spark, preT, pre = true)
-        triples = pt
-        preS += ps
-        if (shuffledToo) {
-          val (ss, st) = kgOnce(spark, shufT, pre = false)
-          require(pt == st, s"layout changed results: $pt vs $st")
-          shufS += ss
-        }
-      }
-      (PathStats(preS.result()),
-        if (shuffledToo) Some(PathStats(shufS.result())) else None, triples)
+      val (ps, pt) = kgOnce(spark, preT, pre = true)
+      val shuf = if (shuffledToo) {
+        val shufT = spark.read.parquet(transcriptsPath)
+        val (ss, st) = kgOnce(spark, shufT, pre = false)
+        require(pt == st, s"layout changed results: $pt vs $st")
+        Some(ss)
+      } else None
+      (ps, shuf, pt)
     } finally spark.stop()
   }
 
   /** Full pipeline incl. MATERIALIZE: all 8 bucket-partitioned tables +
-    * snapshot/lineage commit, fresh output dir. Returns (sec, triple rows). */
+    * snapshot/lineage commit, fresh output dir, inside the given session.
+    * Returns (sec, triple rows). */
+  private def materializeOnce(spark: SparkSession, transcriptsPath: String): (Double, Long) = {
+    val transcripts = KgPipeline.readConversationPartitioned(spark, transcriptsPath)
+    val out = java.nio.file.Files.createTempDirectory("graft_bench_mat").toString
+    val t0 = System.nanoTime()
+    val report = graft.kg.table.Materializer.run(spark, transcripts, out,
+      nBuckets = 32, prePartitioned = true)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (sec, report.rows.getOrElse("triples", 0L))
+  }
+
+  /** One rep of MATERIALIZE in its own local[cores] session. */
   private def materializeRun(cores: Int, transcriptsPath: String): (Double, Long) = {
     val spark = session(cores)
-    try {
-      val transcripts = KgPipeline.readConversationPartitioned(spark, transcriptsPath)
-      val out = java.nio.file.Files.createTempDirectory("graft_bench_mat").toString
-      val t0 = System.nanoTime()
-      val report = graft.kg.table.Materializer.run(spark, transcripts, out,
-        nBuckets = 32, prePartitioned = true)
-      val sec = (System.nanoTime() - t0) / 1e9
-      (sec, report.rows.getOrElse("triples", 0L))
-    } finally spark.stop()
+    try materializeOnce(spark, transcriptsPath) finally spark.stop()
+  }
+
+  /** All timings from one round-robin cycle (see main). */
+  final private case class Cycle(
+      calib: Double, base: Double,
+      lowPre: Double, lowShuf: Double,
+      highPre: Double, highShuf: Double,
+      mat: Option[Double], triples: Long) {
+    def lowMin: Double = math.min(lowPre, lowShuf)
+    def highMin: Double = math.min(highPre, highShuf)
+    // per-cycle efficiencies: numerator and denominator measured seconds
+    // apart inside the SAME cycle, so a degraded span hits both
+    def eff2to8(lowCores: Int): Double = (base / lowMin) / (lowCores / 2.0)
+    def eff8to32(ratio: Double): Double = (lowMin / highMin) / ratio
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,67 +192,97 @@ object Bench {
       }
       (n, path)
     }
+    // full warm-up ONCE, here: JIT, Janino codegen cache and regex
+    // compilation are JVM-global, so the per-cycle sessions only need the
+    // tiny session-init warm-up in levelVisit
+    locally {
+      import prep.implicits._
+      KgPipeline.triplesDirect(prep, TranscriptGen.turns(1000, 40).toDF()).count()
+    }
     prep.stop()
+    calibKernel() // warm the calibration kernel's JIT too
 
     // Three parallelism levels → two N-vs-4N pairs. The (2 → 8) pair is the
     // faithful multi-executor emulation (per-core resources unconstrained);
-    // (8 → 32) additionally reflects this single box's all-core frequency/
-    // memory-bandwidth ceiling, which a real cluster adding MACHINES does not
-    // hit. Both are reported; `scaling_efficiency` is the (2 → 8) pair.
-    // At each level the pre-partitioned (shuffle-free) and shuffled
-    // (conv_id exchange + sort) paths are timed with INTERLEAVED reps in the
-    // same session; min/median/range all ship in the JSON.
-    // The 2-core anchor denominates the headline 2→8 efficiency, so a VM
-    // stall here poisons the one summary field a dashboard scrapes (r5_run4
-    // shipped 1.049 that way: all 3 anchor reps landed in one stall window).
-    // Stall-proofing: TWO anchor sessions separated in time by the low/high
-    // phases (several minutes apart); the headline uses the min over BOTH, so
-    // a single stall window cannot cover every anchor rep.
-    val (base2a, _, baseTriples) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
-    val (low, shufLow, lowTriples) = kgRunPair(lowCores, transcriptsPath, reps = kgReps)
-    val (high, shufHigh, highTriples) = kgRunPair(highCores, transcriptsPath, reps = kgReps)
-    val (base2b, _, baseTriples2) = kgRunPair(2, transcriptsPath, reps = 3, shuffledToo = false)
-    val base2 = PathStats(base2a.secs ++ base2b.secs)
-    require(lowTriples == highTriples && baseTriples == lowTriples
-        && baseTriples2 == baseTriples,
-      s"parallelism changed results: $baseTriples/$lowTriples/$highTriples/$baseTriples2")
+    // (8 → 32) additionally reflects this single box's all-core memory-
+    // bandwidth ceiling (BandwidthProbe), which a real cluster adding
+    // MACHINES does not hit. Both are reported; `scaling_efficiency` is the
+    // (2 → 8) pair.
+    //
+    // ROUND-ROBIN CYCLES (round 7): the levels are no longer phase blocks.
+    // Each cycle times, back to back inside one wall-clock window:
+    //   calibration kernel → 2c (pre) → low (pre, shuffled) → high (pre,
+    //   shuffled) [→ materialize at high, odd cycles]
+    // so a degraded VM span inflates every level of that cycle together —
+    // the r5/r6 failure mode (a slow PHASE hitting one level's block
+    // asymmetrically and poisoning the ratio of mins) is structurally gone.
+    // Headline sec per level stays the min over ALL cycles' pre AND
+    // shuffled reps (shuffled = identical extraction + a conv_id exchange,
+    // strictly more work, hence always a valid witness); per-cycle
+    // efficiencies (numerator and denominator seconds apart) plus the
+    // per-cycle calibration kernel ship in the JSON as corroboration, so a
+    // reader can verify the headline — or normalize it — from the artifact
+    // alone even in a session degraded end-to-end.
+    val coreRatio = highCores.toDouble / lowCores
+    val cycles = Vector.tabulate(kgReps) { c =>
+      val calib = calibKernel()
+      val (baseSec, _, t0) = levelVisit(2, transcriptsPath, shuffledToo = false)
+      val (lowPre, lowShuf, t1) = levelVisit(lowCores, transcriptsPath, shuffledToo = true)
+      val (highPre, highShuf, t2) = levelVisit(highCores, transcriptsPath, shuffledToo = true)
+      require(t0 == t1 && t1 == t2, s"parallelism changed results: $t0/$t1/$t2")
+      // materialize interleaves on odd cycles (min-of-3 at kgReps=5): it
+      // gets the same protection without doubling the phase's wall clock
+      val mat = if (c % 2 == 0) Some(materializeRun(highCores, transcriptsPath)) else None
+      val cy = Cycle(calib, baseSec, lowPre, lowShuf.get, highPre, highShuf.get,
+        mat.map(_._1), t0)
+      println(s"""{"phase":"kg_cycle","cycle":${c + 1},"calib":${"%.4f".formatLocal(java.util.Locale.ROOT, calib)},"base":${cy.base},"low_pre":${cy.lowPre},"low_shuf":${cy.lowShuf},"high_pre":${cy.highPre},"high_shuf":${cy.highShuf},"mat":${cy.mat.getOrElse(-1.0)}}""")
+      cy
+    }
+    val baseTriples = cycles.head.triples
+    val base2 = PathStats(cycles.map(_.base))
+    val low = PathStats(cycles.map(_.lowPre))
+    val shufLow = PathStats(cycles.map(_.lowShuf))
+    val high = PathStats(cycles.map(_.highPre))
+    val shufHigh = PathStats(cycles.map(_.highShuf))
+    val calib = PathStats(cycles.map(_.calib))
     val base2Tps = baseTriples / base2.min
-    // Headline sec per level = min over the pre-partitioned AND shuffled
-    // interleaved reps. The shuffled variant runs the identical extraction
-    // plus a conv_id exchange — strictly more work — so its time is always
-    // a valid (conservative) witness for the level's throughput; taking the
-    // min over both rep sets doubles the stall-sampled window (run r6_run4
-    // shipped eff 0.73 from stalled pre reps while its own shuffled reps
-    // proved 0.87).
-    val lowMin = (low.secs ++ shufLow.toSeq.flatMap(_.secs)).min
-    val highMin = (high.secs ++ shufHigh.toSeq.flatMap(_.secs)).min
-    val lowTps = lowTriples / lowMin
-    val highTps = highTriples / highMin
+    val lowMin = math.min(low.min, shufLow.min)
+    val highMin = math.min(high.min, shufHigh.min)
+    val lowTps = baseTriples / lowMin
+    val highTps = baseTriples / highMin
     val eff2to8 = (lowTps / base2Tps) / (lowCores.toDouble / 2)
-    val eff8to32 = (highTps / lowTps) / (highCores.toDouble / lowCores)
+    val eff8to32 = (highTps / lowTps) / coreRatio
+    val cycleEffs = cycles.map(_.eff2to8(lowCores))
+    val effCycleMedian = PathStats(cycleEffs).median
 
     def f(d: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
-    // --- phase 1c: full pipeline incl. materialize, at local[high] ----------
-    // min-of-2: materialize was the one single-shot number left, so a VM
-    // stall landing on it was unrecoverable from the artifact (round-4
-    // driver run needed a judge re-run to adjudicate a 142 s outlier)
-    val matRuns = Vector.fill(2)(materializeRun(highCores, transcriptsPath))
+    val matRuns = cycles.flatMap(c => c.mat.map(s => (s, c.triples)))
     val matSec = matRuns.map(_._1).min
     val matTriples = matRuns.head._2
+    val perCycle = cycles.zipWithIndex.map { case (c, i) =>
+      s"""{"cycle":${i + 1},"calib":${f(c.calib)},"base":${f(c.base)},""" +
+        s""""low_pre":${f(c.lowPre)},"low_shuf":${f(c.lowShuf)},""" +
+        s""""high_pre":${f(c.highPre)},"high_shuf":${f(c.highShuf)},""" +
+        s""""mat":${c.mat.map(f).getOrElse("null")},""" +
+        s""""eff_2_to_8":${f(c.eff2to8(lowCores))},""" +
+        s""""eff_8_to_32":${f(c.eff8to32(coreRatio))}}"""
+    }.mkString("[", ",", "]")
     val kg =
-      s"""{"n_convs":$nConvs,"triples":$lowTriples,""" +
+      s"""{"n_convs":$nConvs,"triples":$baseTriples,"cycles":$kgReps,""" +
         s""""base":{"cores":2,"sec":${f(base2.min)},"triples_per_sec":${f(base2Tps)},""" +
-        s""""reps_session1":[${base2a.secs.map(f).mkString(",")}],""" +
-        s""""reps_session2":[${base2b.secs.map(f).mkString(",")}]},""" +
+        s""""reps":[${base2.secs.map(f).mkString(",")}]},""" +
         s""""low":{"cores":$lowCores,"sec":${f(lowMin)},"triples_per_sec":${f(lowTps)}},""" +
         s""""high":{"cores":$highCores,"sec":${f(highMin)},"triples_per_sec":${f(highTps)}},""" +
         s""""scaling_efficiency":${f(eff2to8)},""" +
         s""""scaling_efficiency_2_to_8":${f(eff2to8)},""" +
         s""""scaling_efficiency_8_to_32":${f(eff8to32)},""" +
+        s""""scaling_efficiency_cycle_median":${f(effCycleMedian)},""" +
+        s""""calibration_kernel":${calib.json},""" +
+        s""""per_cycle":$perCycle,""" +
         s""""pre_low":${low.json},"pre_high":${high.json},""" +
-        s""""shuffled_low":${shufLow.map(_.json).getOrElse("null")},""" +
-        s""""shuffled_high":${shufHigh.map(_.json).getOrElse("null")},""" +
+        s""""shuffled_low":${shufLow.json},""" +
+        s""""shuffled_high":${shufHigh.json},""" +
         s""""materialize":{"cores":$highCores,"sec":${f(matSec)},"triples":$matTriples,""" +
         s""""triples_per_sec":${f(matTriples / matSec)},"reps":[${matRuns.map(r => f(r._1)).mkString(",")}]}}"""
     // phase record: the driver keeps only the output tail, so each phase

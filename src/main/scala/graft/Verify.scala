@@ -37,6 +37,38 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // --- dual-engine self-check over the oracle-infeasible kg_* family ---
+    // Recomputes the kg_* projections with the pure-JVM single-thread
+    // extractor (no Spark plumbing) and asserts multiset-equality against
+    // (a) the ACTUAL kg_* query outputs on the exact memo input and (b) a
+    // 1,200-conversation sample → outDir/dual_engine.json (committed as
+    // DUAL_ENGINE.json; see DualEngineCheck). 14 turns/conv mirrors
+    // SparkEntry.transcripts — a drift there makes this check scream
+    // rather than silently verify the wrong input.
+    try {
+      import graft.kg.eval.DualEngineCheck
+      val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+      val memoN = math.max(20, (nDocs / 5).toInt)
+      val memoSpark = DualEngineCheck.fromSpark(
+        SparkEntry.queries("kg_triples")(spark, sfDir),
+        SparkEntry.queries("kg_node_histogram")(spark, sfDir),
+        SparkEntry.queries("kg_relation_histogram")(spark, sfDir),
+        SparkEntry.queries("kg_tier_histogram")(spark, sfDir),
+        SparkEntry.queries("kg_orphans")(spark, sfDir))
+      val memo = DualEngineCheck.compare(memoN, memoSpark, DualEngineCheck.pure(memoN, 14))
+      val sampleN = 1200
+      val sample = DualEngineCheck.compare(sampleN,
+        DualEngineCheck.spark(spark, sampleN, 14), DualEngineCheck.pure(sampleN, 14))
+      val js = s"""{"memo":${memo.json},"sample":${sample.json},""" +
+        s""""all_equal":${memo.allEqual && sample.allEqual}}"""
+      Files.writeString(Paths.get(s"$outDir/dual_engine.json"), js)
+      println(s"[verify] dual-engine: $js")
+      if (!(memo.allEqual && sample.allEqual))
+        System.err.println("[verify] DUAL-ENGINE MISMATCH — kg_* Spark output diverges from the pure-JVM extractor")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] dual-engine check failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

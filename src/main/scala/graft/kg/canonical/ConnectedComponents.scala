@@ -15,6 +15,15 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Diagnostics from the most recent [[runAuto]]/[[run]] in this JVM —
+    * read by scale probes/reports, never by the query path. `edges` is the
+    * distinct directed edge count observed by the strategy gate (exact on
+    * the local branch; localThreshold+1 means the bounded take overflowed
+    * and the distributed loop ran). `iterations` is 0 for the local
+    * union-find. */
+  final case class RunStats(strategy: String, edges: Long, iterations: Int)
+  @volatile private[graft] var lastStats: RunStats = RunStats("none", 0L, 0)
+
   /** edges(src, dst) → components(id, component), choosing the strategy by
     * the DISTINCT edge count: candidate-match graphs are orders of magnitude
     * smaller than the corpus (distinct entity keys, not mention rows), so up
@@ -35,9 +44,14 @@ object ConnectedComponents {
     // re-evaluates the distinct (then pinned via localCheckpoint inside run).
     val cap = math.min(localThreshold, Int.MaxValue - 8L).toInt
     val taken = sym.take(cap + 1)
-    if (taken.length <= cap)
+    if (taken.length <= cap) {
+      lastStats = RunStats("local", taken.length.toLong, 0)
       runLocal(spark, taken.map(r => (r.getString(0), r.getString(1))))
-    else run(spark, sym)
+    } else {
+      val out = run(spark, sym)
+      lastStats = lastStats.copy(edges = taken.length.toLong)
+      out
+    }
   }
 
   /** Driver-side union-find over a (small, distinct) edge list. */
@@ -112,6 +126,7 @@ object ConnectedComponents {
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ConnectedComponents.run did NOT converge in $maxIter rounds — labels may be non-minimal")
+    lastStats = RunStats("distributed", -1L, iter) // edges unknown here; runAuto fills it
     comps
   }
 }
