@@ -57,14 +57,28 @@ object Verify {
         SparkEntry.queries("kg_tier_histogram")(spark, sfDir),
         SparkEntry.queries("kg_orphans")(spark, sfDir))
       val memo = DualEngineCheck.compare(memoN, memoSpark, DualEngineCheck.pure(memoN, 14))
+      // extended pass: the remaining 7 kg_* projections, against the ACTUAL
+      // query outputs (distributed CC/salted-agg/join layers vs plain
+      // collections + min-label union-find)
+      val memo2 = DualEngineCheck.compare2(memoN,
+        DualEngineCheck.fromSpark2(
+          SparkEntry.queries("kg_canonical_triples")(spark, sfDir),
+          SparkEntry.queries("kg_entity_stats")(spark, sfDir),
+          SparkEntry.queries("kg_quality_scores")(spark, sfDir),
+          SparkEntry.queries("kg_holding_support")(spark, sfDir),
+          SparkEntry.queries("kg_conceptset_retrieval")(spark, sfDir),
+          SparkEntry.queries("kg_linearize")(spark, sfDir),
+          SparkEntry.queries("kg_json_export")(spark, sfDir)),
+        DualEngineCheck.pure2(memoN, 14))
       val sampleN = 1200
       val sample = DualEngineCheck.compare(sampleN,
         DualEngineCheck.spark(spark, sampleN, 14), DualEngineCheck.pure(sampleN, 14))
-      val js = s"""{"memo":${memo.json},"sample":${sample.json},""" +
-        s""""all_equal":${memo.allEqual && sample.allEqual}}"""
+      val js = s"""{"memo":${memo.json},"memo_extended":${memo2.json},""" +
+        s""""sample":${sample.json},""" +
+        s""""all_equal":${memo.allEqual && memo2.allEqual && sample.allEqual}}"""
       Files.writeString(Paths.get(s"$outDir/dual_engine.json"), js)
       println(s"[verify] dual-engine: $js")
-      if (!(memo.allEqual && sample.allEqual))
+      if (!(memo.allEqual && memo2.allEqual && sample.allEqual))
         System.err.println("[verify] DUAL-ENGINE MISMATCH — kg_* Spark output diverges from the pure-JVM extractor")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] dual-engine check failed: ${e.getClass.getSimpleName}: ${e.getMessage}")

@@ -117,4 +117,270 @@ object DualEngineCheck {
       sparkSide.relHist == pureSide.relHist,
       sparkSide.tierHist == pureSide.tierHist,
       sparkSide.orphanHist == pureSide.orphanHist)
+
+  // ------------------------------------------------------------------------
+  // Extended side: the remaining 7 kg_* projections (round 7, second pass).
+  // Pure side = the same per-graph leaf semantics (Relations.Matrix,
+  // nodeTypeFromId, normalizeConceptTokens, GraphJsonWriter.toJson) with the
+  // DISTRIBUTED layer — connected components, salted aggregation, the
+  // rewrite/support/score joins — reimplemented over plain Scala
+  // collections, so agreement pins exactly the layer the no_oracle rows
+  // could not evidence.
+  // ------------------------------------------------------------------------
+
+  /** One engine's view of the remaining kg_* projections. `entityConvs` is
+    * exact on the pure side and HLL-approximate on the Spark side
+    * (approx_count_distinct) — compared under tolerance, everything else
+    * exactly. */
+  final case class Side2(
+      canonicalTriples: Vector[(String, String, String, String)],
+      entityMentions: Map[String, Long],
+      entityConvs: Map[String, Long],
+      quality: Map[String, (Double, Double, Double, Double, Double)],
+      holdingSupport: Vector[(String, String, String, String, String)],
+      conceptScores: Vector[(String, String, Double)],
+      linearize: Map[String, String],
+      jsonExport: Map[String, String])
+
+  /** The concept-id set kg_conceptset_retrieval queries (SparkEntry). */
+  val ConceptQueryIds: Seq[String] = Seq(
+    "DOCTRINE_NATURAL_JUSTICE_AUDI_ALTERAM_PARTEM",
+    "DOCTRINE_PROPORTIONALITY_TEST", "MANIFEST_ARBITRARINESS")
+
+  /** Mirror of Spark `trim` (0x20 only) + `regexp_replace(\s+," ")` +
+    * `lower` — Canonicalizer.normName (ASCII inputs by construction). */
+  private def normName(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      .replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+
+  /** Mirror of Spark round(x, k): HALF_UP on the shortest decimal repr. */
+  private def sparkRound(x: Double, k: Int): Double =
+    java.math.BigDecimal.valueOf(x).setScale(k, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  private def floorRound(x: Double, pow: Double): Double = math.floor(x * pow + 0.5) / pow
+
+  /** Min-label union-find: component = lexicographically smallest reachable
+    * id (the invariant ConnectedComponents guarantees). */
+  private def ufComponents(edges: Iterable[(String, String)]): collection.Map[String, String] = {
+    val parent = scala.collection.mutable.HashMap.empty[String, String]
+    def find(x: String): String = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  /** Pure-JVM recomputation of the remaining 7 projections over the same
+    * graphs [[pure]] extracts. */
+  def pure2(nConvs: Int, turnsPerConv: Int): Side2 = {
+    val ont = Ontology.forJurisdiction("in")
+    val graphs = (0 until nConvs).map { i =>
+      val cid = f"conv_$i%06d"
+      val turns = TranscriptGen.conversation(cid, turnsPerConv)
+        .map(t => (t.turn_idx, t.text)).sortBy(identity)
+      DocExtractor.extract(cid, turns, ont, "in")
+    }
+
+    // --- canonical mapping (mirror of Canonicalizer.mentionMap) ------------
+    // precedents: UF over name_key↔cit_key + cit self-edges, min-label;
+    // concepts: "concept:" + conceptId. concat-null semantics: a null
+    // citation/citationType nulls the cit_key and the mention maps to null
+    // (→ conv-local id in the rewrite), exactly as the Column concat does.
+    final case class MKey(convId: String, id: String, nameKey: String, citKey: String)
+    val precKeys = graphs.flatMap(g => g.nodes.filter(_.nodeType == "precedent").map { n =>
+      val nameKey = if (n.caseName != null) "case:" + normName(n.caseName) else null
+      val citKey = if (n.citation != null && n.citationType != null)
+        "cit:" + n.citationType + ":" + normName(n.citation) else null
+      MKey(n.convId, n.id, nameKey, citKey)
+    })
+    val ufEdges = precKeys.filter(k => k.nameKey != null && k.citKey != null)
+      .map(k => (k.nameKey, k.citKey)) ++
+      precKeys.filter(_.citKey != null).map(k => (k.citKey, k.citKey))
+    val comps = ufComponents(ufEdges)
+    // (convId, id) -> canonical_id (null ⇒ unmapped, falls back conv-local)
+    val mapping = scala.collection.mutable.HashMap.empty[(String, String), String]
+    for (k <- precKeys) {
+      val canon = if (k.citKey == null) null else comps.getOrElse(k.citKey, k.citKey)
+      if (canon != null) mapping((k.convId, k.id)) = canon
+    }
+    for (g <- graphs; n <- g.nodes if n.nodeType == "concept")
+      mapping((n.convId, n.id)) = "concept:" + n.conceptId
+
+    // --- kg_canonical_triples ----------------------------------------------
+    val canonTriples = (for {
+      g <- graphs; e <- g.edges
+    } yield (e.convId,
+        mapping.getOrElse((e.convId, e.source), e.convId + "/" + e.source),
+        e.relation,
+        mapping.getOrElse((e.convId, e.target), e.convId + "/" + e.target))
+      ).toVector.sorted
+
+    // --- kg_entity_stats (exact distinct convs; Spark side is HLL) ---------
+    // unmapped precedent mentions (null cit_key) group under a null
+    // canonical_id in entityStats — mirror that null group
+    val mentionRows = precKeys.map(k =>
+        (mapping.getOrElse((k.convId, k.id), null): String, k.convId)) ++
+      graphs.flatMap(_.nodes.filter(_.nodeType == "concept")
+        .map(n => ("concept:" + n.conceptId, n.convId)))
+    val entityMentions = mentionRows.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+    val entityConvs = mentionRows.groupBy(_._1)
+      .map { case (c, xs) => c -> xs.map(_._2).distinct.size.toLong }
+
+    // --- kg_quality_scores (mirror of GraphQuality.score) ------------------
+    val validSigs: Set[String] = graft.kg.rules.Relations.Matrix.toSeq.flatMap {
+      case ((s, t), rels) => rels.map(r => s"$s|$t|$r")
+    }.toSet
+    val quality = graphs.map { g =>
+      val v = if (g.edges.isEmpty) 0.0
+        else g.edges.count(e => validSigs(
+          graft.kg.rules.Relations.nodeTypeFromId(e.source) + "|" +
+            graft.kg.rules.Relations.nodeTypeFromId(e.target) + "|" + e.relation))
+          .toDouble / g.edges.size
+      val endpoints = g.edges.iterator.flatMap(e => Iterator(e.source, e.target)).toSet
+      val nonOutcome = g.nodes.filter(_.nodeType != "outcome")
+      val c = if (nonOutcome.isEmpty) 0.0
+        else nonOutcome.count(n => endpoints(n.id)).toDouble / nonOutcome.size
+      val issues = g.nodes.filter(_.nodeType == "issue")
+      val resolves = g.nodes.iterator.filter(_.nodeType == "holding")
+        .map(_.resolvesIssue).filter(_ != null).toSet
+      val r = if (issues.isEmpty) 0.0
+        else issues.count(i => resolves(i.id)).toDouble / issues.size
+      val a = if (g.nodes.isEmpty) 0.0
+        else g.nodes.count(n => n.anchor != null && n.anchor.endChar > n.anchor.startChar)
+          .toDouble / g.nodes.size
+      val score = floorRound(1.0 + v * 3.0 + c * 3.0 + r * 2.0 + a * 1.0, 100.0)
+      g.summary.convId -> ((floorRound(v, 1e4), floorRound(c, 1e4),
+        floorRound(r, 1e4), floorRound(a, 1e4), score))
+    }.toMap
+
+    // --- kg_holding_support (mirror of GraphOps.holdingSupport + the
+    //     query's concat_ws stringification) --------------------------------
+    val holding = (for {
+      g <- graphs
+      nodeType = g.nodes.iterator.map(n => n.id -> n.nodeType).toMap
+      holdings = g.nodes.filter(_.nodeType == "holding").map(_.id).toSet
+      (hid, in) <- g.edges.filter(e => holdings(e.target) && nodeType.contains(e.source))
+        .groupBy(_.target)
+    } yield {
+      val grounds = in.filter(_.relation == "grounds").map(_.source).sorted
+      val facts = in.filter(e => nodeType(e.source) == "fact" && e.relation == "supports")
+        .map(_.source).sorted
+      val js = g.justificationSets.filter(_.targetId == hid).map(_.id).sorted
+      (g.summary.convId, hid, grounds.mkString(","), facts.mkString(","), js.mkString(","))
+    }).toVector.sorted
+
+    // --- kg_conceptset_retrieval (mirror of Retrieval.conceptSetScores) ----
+    val conceptScores = (for {
+      g <- graphs
+      grades = g.nodes.filter(_.nodeType == "concept")
+        .groupBy(_.conceptId)
+        .map { case (cid, ns) =>
+          cid -> ns.map(n => graft.kg.query.Retrieval.RelevanceGrade
+            .getOrElse(if (n.relevance == null) "" else n.relevance, 1)).max
+        }
+      q <- ConceptQueryIds
+      scores = grades.flatMap { case (cid, grade) =>
+        if (cid == q) Some(grade.toDouble)
+        else {
+          val a = graft.kg.query.Retrieval.normalizeConceptTokens(q)
+          val b = graft.kg.query.Retrieval.normalizeConceptTokens(cid)
+          val sim = if (a.isEmpty || b.isEmpty) 0.0
+            else (a intersect b).size.toDouble / (a union b).size
+          if (sim >= 0.25) Some(grade * sim) else None
+        }
+      }
+      if scores.nonEmpty
+    } yield (q, g.summary.convId, sparkRound(scores.max, 6))).toVector.sorted
+
+    // --- kg_linearize (mirror of Retrieval.linearizeStable) ----------------
+    val typeRank = Map("fact" -> 0, "issue" -> 1, "argument" -> 2,
+      "holding" -> 3, "concept" -> 4, "precedent" -> 5)
+    val linearize = graphs.map { g =>
+      val parts = g.nodes.iterator.flatMap { n =>
+        typeRank.get(n.nodeType).flatMap { tr =>
+          val part = if (n.nodeType == "precedent")
+            Seq(n.caseName, n.citation).filter(_ != null).mkString(" ")
+          else n.text
+          if (part != null && part.replaceAll("^ +| +$", "").nonEmpty)
+            Some((tr, n.id, part))
+          else None
+        }
+      }.toVector.sorted
+      g.summary.convId -> parts.map(_._3).mkString(" ")
+    }.filter(_._2.nonEmpty).toMap
+
+    // --- kg_json_export: the SAME per-graph serializer, direct call --------
+    val jsonExport = graphs.map(g => g.summary.convId ->
+      graft.kg.io.GraphJsonWriter.toJson(g.summary.convId, g.nodes, g.edges,
+        g.justificationSets, g.chains, g.summary.qualityTier, g.warnings)).toMap
+
+    Side2(canonTriples, entityMentions, entityConvs, quality, holding,
+      conceptScores, linearize, jsonExport)
+  }
+
+  /** Assemble a [[Side2]] from the seven query-shaped DataFrames — i.e. the
+    * ACTUAL kg_* query outputs. */
+  def fromSpark2(canonicalTriples: DataFrame, entityStats: DataFrame,
+                 quality: DataFrame, holdingSupport: DataFrame,
+                 conceptScores: DataFrame, linearize: DataFrame,
+                 jsonExport: DataFrame): Side2 = {
+    val es = entityStats.collect()
+    Side2(
+      canonicalTriples.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+        .toVector.sorted,
+      es.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      es.map(r => r.getString(0) -> r.getLong(2)).toMap,
+      quality.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap,
+      holdingSupport.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3), r.getString(4))).toVector.sorted,
+      conceptScores.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toVector.sorted,
+      linearize.collect().map(r => r.getString(0) -> r.getString(1)).toMap,
+      jsonExport.collect().map(r => r.getString(0) -> r.getString(1)).toMap)
+  }
+
+  final case class Result2(nConvs: Int,
+                           canonicalEqual: Boolean, entityMentionsEqual: Boolean,
+                           entityConvsWithinTol: Boolean, qualityEqual: Boolean,
+                           holdingEqual: Boolean, conceptEqual: Boolean,
+                           linearizeEqual: Boolean, jsonEqual: Boolean) {
+    def allEqual: Boolean = canonicalEqual && entityMentionsEqual &&
+      entityConvsWithinTol && qualityEqual && holdingEqual && conceptEqual &&
+      linearizeEqual && jsonEqual
+    def json: String =
+      s"""{"n_convs":$nConvs,"canonical_triples_equal":$canonicalEqual,""" +
+        s""""entity_mentions_equal":$entityMentionsEqual,""" +
+        s""""entity_convs_within_hll_tol":$entityConvsWithinTol,""" +
+        s""""quality_scores_equal":$qualityEqual,"holding_support_equal":$holdingEqual,""" +
+        s""""conceptset_scores_equal":$conceptEqual,"linearize_equal":$linearizeEqual,""" +
+        s""""json_export_equal":$jsonEqual,"all_equal":$allEqual}"""
+  }
+
+  /** approx_count_distinct defaults to rsd 0.05; 15 % absolute tolerance is
+    * ~3 σ and still catches any structural error (wrong grouping key,
+    * dropped salt, double count). */
+  def compare2(nConvs: Int, sparkSide: Side2, pureSide: Side2, convTol: Double = 0.15): Result2 =
+    Result2(nConvs,
+      sparkSide.canonicalTriples == pureSide.canonicalTriples,
+      sparkSide.entityMentions == pureSide.entityMentions,
+      sparkSide.entityConvs.keySet == pureSide.entityConvs.keySet &&
+        sparkSide.entityConvs.forall { case (k, approx) =>
+          val exact = pureSide.entityConvs(k)
+          math.abs(approx - exact) <= math.max(1L, (exact * convTol).toLong)
+        },
+      sparkSide.quality == pureSide.quality,
+      sparkSide.holdingSupport == pureSide.holdingSupport,
+      sparkSide.conceptScores == pureSide.conceptScores,
+      sparkSide.linearize == pureSide.linearize,
+      sparkSide.jsonExport == pureSide.jsonExport)
 }

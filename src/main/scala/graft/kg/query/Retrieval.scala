@@ -155,7 +155,7 @@ object Retrieval {
       .map((t: String) => ConceptAbbrev.getOrElse(t, t))
       .filter(t => t.nonEmpty && t.length >= 2)
 
-  private val RelevanceGrade = Map(
+  private[kg] val RelevanceGrade = Map(
     "central" -> 4, "supporting" -> 3, "mentioned" -> 1, "obiter" -> 1)
 
   /** Fuzzy concept-set retrieval: per query concept id, score each conv by

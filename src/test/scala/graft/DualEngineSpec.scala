@@ -28,4 +28,33 @@ class DualEngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.triples > 0)
     assert(result.allEqual, result.json)
   }
+
+  test("all 12 kg_* query outputs == pure-JVM recomputation (memo input, sf0.001)") {
+    // drives the ACTUAL SparkEntry kg_* queries (extract-once memo, 100
+    // convs at sf0.001) against the plain-collections recomputation —
+    // distributed CC / salted agg / support joins vs min-label union-find
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val memoN = 100
+    val base = DualEngineCheck.compare(memoN,
+      DualEngineCheck.fromSpark(
+        SparkEntry.queries("kg_triples")(spark, dir),
+        SparkEntry.queries("kg_node_histogram")(spark, dir),
+        SparkEntry.queries("kg_relation_histogram")(spark, dir),
+        SparkEntry.queries("kg_tier_histogram")(spark, dir),
+        SparkEntry.queries("kg_orphans")(spark, dir)),
+      DualEngineCheck.pure(memoN, 14))
+    assert(base.allEqual, base.json)
+    val ext = DualEngineCheck.compare2(memoN,
+      DualEngineCheck.fromSpark2(
+        SparkEntry.queries("kg_canonical_triples")(spark, dir),
+        SparkEntry.queries("kg_entity_stats")(spark, dir),
+        SparkEntry.queries("kg_quality_scores")(spark, dir),
+        SparkEntry.queries("kg_holding_support")(spark, dir),
+        SparkEntry.queries("kg_conceptset_retrieval")(spark, dir),
+        SparkEntry.queries("kg_linearize")(spark, dir),
+        SparkEntry.queries("kg_json_export")(spark, dir)),
+      DualEngineCheck.pure2(memoN, 14))
+    assert(ext.allEqual, ext.json)
+  }
 }
