@@ -2004,6 +2004,59 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- P3 violations-only filter through the REAL schema-adaptive label
+    //     normalization (CaseAdapter.adaptCases, run_iltur.py:540-575 +
+    //     the label==1 subset of run_iltur.py:818): messy string labels
+    //     coalesce with an int-array fallback column ("labels"), then the
+    //     violations-only filter keeps label == 1; the mirror inlines the
+    //     yes/no vocabularies, the any-positive array rule and the coalesce ---
+    "q85_violations_filter" -> ((s, dir) => {
+      val raws = Seq("1", "true", "YES", "  accepted ", "allow", "Violation",
+        "0", "FALSE", "no_violation", "dismissed", "maybe", "")
+      val planted = pq(s, dir, "documents")
+        .select(
+          concat(lit("c"), col("doc_id")).as("id"),
+          lit("case body text").as("text"),
+          when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+            .otherwise(element_at(array(raws.map(lit): _*),
+              (col("doc_id") % 12).cast("int") + 1)).as("label"),
+          when(col("doc_id") % 3 === 0, array().cast("array<int>"))
+            .when(col("doc_id") % 3 === 1, array(lit(0), lit(0)))
+            .otherwise(array(lit(0), lit(1))).as("labels"))
+      graft.kg.io.CaseAdapter.adaptCases(planted)
+        .filter(col("label") === 1)
+        .select(col("case_id"), col("label"))
+        .orderBy(col("case_id"))
+    }),
+
+    // --- P6 tier filter over REAL computed tiers (GraphQuality.tierFilter,
+    //     eval_retrieval_v2.py:62-85): tiers come from the REAL computeTier
+    //     over planted warning counts (q39's arithmetic), one variant plants
+    //     a MISSING tier (reference: g.get("quality_tier","") → always
+    //     skipped); the filter set arrives mixed-case like a CLI arg ---
+    "q86_tier_filter" -> ((s, dir) => {
+      val tierU = udf((nerr: Int, nsub: Int, ncos: Int, h: Boolean, o: Boolean, c: Boolean) => {
+        val ws = Seq.fill(nerr)("edge e1: target not found") ++
+          Seq.fill(nsub)("unusual actor surface form") ++
+          Seq.fill(ncos)("edge e2 repaired: direction flipped")
+        graft.kg.extract.GraphAssembly.computeTier(ws, h, o, c)
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % 8).cast("int").as("n_err"),
+          ((col("doc_id") * 3) % 40).cast("int").as("n_sub"),
+          (col("doc_id") % 3).cast("int").as("n_cos"),
+          (col("doc_id") % 5 =!= 0).as("h"),
+          (col("doc_id") % 6 =!= 0).as("o"),
+          (col("doc_id") % 7 =!= 0).as("c"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0, lit(null).cast("string"))
+            .otherwise(tierU(col("n_err"), col("n_sub"), col("n_cos"),
+              col("h"), col("o"), col("c"))).as("tier"))
+        .filter(graft.kg.query.GraphQuality.tierFilter(col("tier"), Set("Gold", "silver")))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4478,6 +4531,55 @@ object SparkEntry {
          JOIN pbt USING (doc_id) JOIN qq USING (doc_id)
          ORDER BY d.doc_id""",
 
+    "q85_violations_filter" ->
+      // mirrors the label normalization (run_iltur.py:540-575): yes/no
+      // string vocabularies after lower(trim(..)), unmapped strings → NULL
+      // → fall through the coalesce to the int-array any-positive rule,
+      // then the violations-only subset keeps label == 1
+      """WITH planted AS (
+           SELECT doc_id, 'c' || CAST(doc_id AS VARCHAR) AS case_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL
+               ELSE (['1','true','YES','  accepted ','allow','Violation','0',
+                      'FALSE','no_violation','dismissed','maybe',''])
+                    [CAST(doc_id % 12 AS INT) + 1] END AS raw,
+             CAST(doc_id % 3 AS INT) AS arr_v
+           FROM documents),
+         lab AS (
+           SELECT case_id,
+             coalesce(
+               CASE WHEN lower(trim(raw)) IN
+                      ('1','true','yes','accepted','allow','allowed','violation') THEN 1
+                    WHEN lower(trim(raw)) IN
+                      ('0','false','no','rejected','dismiss','dismissed','no_violation') THEN 0
+               END,
+               CASE arr_v WHEN 0 THEN 0 WHEN 1 THEN 0 ELSE 1 END) AS label
+           FROM planted)
+         SELECT case_id, label FROM lab WHERE label = 1 ORDER BY case_id""",
+
+    "q86_tier_filter" ->
+      // q39's computeTier mirror feeding the iter_graphs tier gate:
+      // lower(coalesce(tier, '')) ∈ {gold, silver} — a planted NULL tier
+      // (doc_id % 9 = 0) is always skipped, like a graph missing the
+      // quality_tier key in the reference
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(doc_id % 8 AS INT) AS n_err,
+             CAST((doc_id * 3) % 40 AS INT) AS n_sub,
+             doc_id % 5 <> 0 AS h, doc_id % 6 <> 0 AS o, doc_id % 7 <> 0 AS c
+           FROM documents),
+         tiers AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN NULL ELSE
+               CASE
+                 WHEN n_err = 0 AND n_sub <= 15 AND h AND o AND c THEN 'gold'
+                 WHEN n_err <= 2 AND n_sub <= 30 AND h AND o THEN 'silver'
+                 WHEN n_err <= 5 THEN 'bronze'
+                 ELSE 'reject' END END AS tier
+           FROM t)
+         SELECT doc_id, tier FROM tiers
+         WHERE lower(coalesce(tier, '')) IN ('gold', 'silver')
+         ORDER BY doc_id""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5028,7 +5130,9 @@ object SparkEntry {
     "q81_ranking_metrics" -> "closed-form SQL mirror",
     "q82_significance" -> "closed-form SQL mirror",
     "q83_bootstrap_ci" -> "published-script replay pin",
-    "q84_density_stats" -> "closed-form SQL mirror"
+    "q84_density_stats" -> "closed-form SQL mirror",
+    "q85_violations_filter" -> "closed-form SQL mirror",
+    "q86_tier_filter" -> "closed-form SQL mirror"
   )
 
 }

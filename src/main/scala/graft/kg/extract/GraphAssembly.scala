@@ -204,14 +204,22 @@ object GraphAssembly {
     "requires anchor", "doesn't match", "invalid", "failed", "exceeds")
   private val CosmeticPatterns = List("repaired", "coerced", "normalized", "flipped")
 
+  /** Warning severity class used by the tier gate and the corpus aggregate
+    * validation (extractor.py:4832-4847): case-insensitive substring match —
+    * error patterns win over cosmetic ones; everything else is substantive. */
+  def classifyWarning(w: String): String = {
+    val lw = w.toLowerCase
+    if (ErrorPatterns.exists(lw.contains)) "error"
+    else if (CosmeticPatterns.exists(lw.contains)) "cosmetic"
+    else "substantive"
+  }
+
   /** Quality tier from warnings + structural completeness
     * (extractor.py:4832-4862). */
   def computeTier(warnings: Seq[String], hasHoldings: Boolean,
                   hasOutcome: Boolean, hasChains: Boolean): String = {
-    val errorCount = warnings.count(w => ErrorPatterns.exists(w.toLowerCase.contains))
-    val substantive = warnings.count(w =>
-      !ErrorPatterns.exists(w.toLowerCase.contains) &&
-        !CosmeticPatterns.exists(w.toLowerCase.contains))
+    val errorCount = warnings.count(classifyWarning(_) == "error")
+    val substantive = warnings.count(classifyWarning(_) == "substantive")
     if (errorCount == 0 && substantive <= 15 && hasHoldings && hasOutcome && hasChains) "gold"
     else if (errorCount <= 2 && substantive <= 30 && hasHoldings && hasOutcome) "silver"
     else if (errorCount <= 5) "bronze"

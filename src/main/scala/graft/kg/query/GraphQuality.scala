@@ -11,6 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object GraphQuality {
 
+  /** Tier-gated corpus iteration predicate (eval_retrieval_v2.py:62-85
+    * `iter_graphs` tier_filter): keep a graph when its lower-cased quality
+    * tier is in `tiers`; a missing/null tier behaves like "" and is always
+    * skipped when a filter is given — the reference's
+    * `g.get("quality_tier", "").lower() not in tier_filter` skip branch.
+    * A plain Column predicate, so Catalyst pushes it to the scan. */
+  def tierFilter(tierCol: org.apache.spark.sql.Column, tiers: Set[String]): org.apache.spark.sql.Column =
+    lower(coalesce(tierCol, lit(""))).isin(tiers.toSeq.map(_.toLowerCase).sorted: _*)
+
   /** Edge validity: share of edges whose (src_type, tgt_type, relation) is in
     * the validation matrix. The matrix is broadcast as a literal lookup set. */
   def edgeValidity(edges: DataFrame): DataFrame = {
