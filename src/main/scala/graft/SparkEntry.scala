@@ -2057,6 +2057,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- P4 completed-cases skip through the REAL bucket assignment +
+    //     resume filter (Materializer.bucketOf = pmod(murmur3, n) and
+    //     Materializer.resumeFilter; run_iltur.py:581-623 use site): the
+    //     planted commit log holds every bucket ≡ 0 (mod 3). The DuckDB
+    //     mirror recomputes Spark's Murmur3_x86_32(seed=42) hash itself —
+    //     4-byte little-endian chunks + per-byte tail, mixK1/mixH1/fmix in
+    //     HUGEINT arithmetic — so the bucket assignment is verified by a
+    //     fully independent implementation, not replayed ---
+    "q87_completed_skip" -> ((s, dir) => {
+      import graft.kg.table.Materializer
+      val nBuckets = 32
+      val done = (0 until nBuckets).filter(_ % 3 == 0).toSet
+      val convs = pq(s, dir, "documents")
+        .select(format_string("conv_%06d", col("doc_id")).as("conv_id"))
+      val withBucket =
+        convs.withColumn("bucket", Materializer.bucketOf(col("conv_id"), nBuckets))
+      Materializer.resumeFilter(withBucket, done)
+        .orderBy(col("conv_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4580,6 +4600,58 @@ object SparkEntry {
          WHERE lower(coalesce(tier, '')) IN ('gold', 'silver')
          ORDER BY doc_id""",
 
+    "q87_completed_skip" ->
+      // independent Murmur3_x86_32(seed=42) over the conv_id UTF-8 bytes:
+      // little-endian 4-byte chunks then per-byte tail, each through
+      // mixK1 (k*0xcc9e2d51, rotl15, k*0x1b873593) and mixH1 (xor, rotl13,
+      // h*5+0xe6546b64), then fmix(len) avalanche; 32-bit wrap via HUGEINT
+      // mults mod 2^32, rotl as shift-parts addition (disjoint bits).
+      // bucket = pmod(hash, 32) = unsigned(h) % 32 since 32 | 2^32; the
+      // resume skip then drops buckets in the planted commit log (≡0 mod 3)
+      """WITH convs AS (
+           SELECT printf('conv_%06d', doc_id) AS conv_id FROM documents),
+         cp AS (
+           SELECT conv_id,
+             list_transform(string_split(conv_id, ''), c -> unicode(c)) AS b,
+             len(conv_id) AS n
+           FROM convs),
+         chunked AS (
+           SELECT conv_id, n,
+             list_transform(generate_series(1, n // 4), i ->
+               b[4*i-3] + b[4*i-2]*256 + b[4*i-1]*65536 + b[4*i]*16777216)
+               AS chunks,
+             list_transform(generate_series(n - (n % 4) + 1, n), i -> b[i])
+               AS tail
+           FROM cp),
+         folded AS (
+           SELECT conv_id, n,
+             list_reduce(list_prepend(42::BIGINT, chunks || tail), (h, k) ->
+               (((
+                 xor(h,
+                   ((((((k::HUGEINT * 3432918353) % 4294967296) * 32768) % 4294967296
+                      + (((k::HUGEINT * 3432918353) % 4294967296) // 131072))::HUGEINT
+                     * 461845907) % 4294967296)::BIGINT
+                 ) * 8192) % 4294967296
+                + xor(h,
+                   ((((((k::HUGEINT * 3432918353) % 4294967296) * 32768) % 4294967296
+                      + (((k::HUGEINT * 3432918353) % 4294967296) // 131072))::HUGEINT
+                     * 461845907) % 4294967296)::BIGINT
+                  ) // 524288
+               )::HUGEINT * 5 + 3864292196) % 4294967296
+             ) AS h1
+           FROM chunked),
+         f0 AS (SELECT conv_id, xor(h1, n) AS a FROM folded),
+         f1 AS (SELECT conv_id,
+             ((xor(a, a // 65536)::HUGEINT * 2246822507) % 4294967296)::BIGINT AS a
+           FROM f0),
+         f2 AS (SELECT conv_id,
+             ((xor(a, a // 8192)::HUGEINT * 3266489909) % 4294967296)::BIGINT AS a
+           FROM f1),
+         f3 AS (SELECT conv_id, xor(a, a // 65536) % 32 AS bucket FROM f2)
+         SELECT conv_id, CAST(bucket AS INT) AS bucket FROM f3
+         WHERE bucket NOT IN (0,3,6,9,12,15,18,21,24,27,30)
+         ORDER BY conv_id""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5132,7 +5204,8 @@ object SparkEntry {
     "q83_bootstrap_ci" -> "published-script replay pin",
     "q84_density_stats" -> "closed-form SQL mirror",
     "q85_violations_filter" -> "closed-form SQL mirror",
-    "q86_tier_filter" -> "closed-form SQL mirror"
+    "q86_tier_filter" -> "closed-form SQL mirror",
+    "q87_completed_skip" -> "closed-form SQL mirror (independent Murmur3 reimplementation)"
   )
 
 }

@@ -32,6 +32,15 @@ object Materializer {
   def bucketOf(convIdCol: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(hash(convIdCol), lit(nBuckets))
 
+  /** The completed-cases skip (run_iltur.py:581-623 use site): drop every
+    * row whose conversation bucket is already committed. Bucket-granular
+    * resume — a plain pruning filter on the bucket column, no shuffle, and
+    * it preserves within-partition row order (the conversation-contiguous
+    * layout survives a resume). */
+  def resumeFilter(withBucket: DataFrame, done: Set[Int]): DataFrame =
+    if (done.isEmpty) withBucket
+    else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+
   def run(
       spark: SparkSession,
       transcripts: DataFrame,
@@ -45,9 +54,7 @@ object Materializer {
     val store = new SnapshotStore(root)
     val done = store.completedBuckets
     val withBucket = transcripts.withColumn("bucket", bucketOf(col("conv_id"), nBuckets))
-    val pending =
-      if (done.isEmpty) withBucket
-      else withBucket.filter(!col("bucket").isin(done.toSeq: _*))
+    val pending = resumeFilter(withBucket, done)
 
     val allBuckets = (0 until nBuckets).toSet
     val pendingBuckets = (allBuckets -- done).toList.sorted
