@@ -2077,6 +2077,48 @@ object SparkEntry {
         .orderBy(col("conv_id"))
     }),
 
+    // --- C9 corpus aggregate validation (CorpusValidation.summary,
+    //     test_iltur_graphs (1).py:1062-1190) over planted per-graph rows:
+    //     REAL classifyWarning tallies + REAL computeTier tiers feed the
+    //     one-row roll-up — pass/fail, severity sums, tier distribution,
+    //     duplicate case_ids (odd multiples of 11 pair with their
+    //     predecessor), z-score outliers (planted 500/300 spikes against
+    //     0..10 baselines, |z| margins ≫ 3 so fp noise can't flip the
+    //     comparison) and the degenerate-graph anomalies ---
+    "q88_corpus_validation" -> ((s, dir) => {
+      val warnU = udf((v: Int) => v match {
+        case 0 => Seq.empty[String]
+        case 1 => Seq("edge e1: target 'x' not found")
+        case 2 => Seq("unusual actor surface form", "low confidence mention")
+        case 3 => Seq("edge e2 repaired: direction flipped")
+        case 4 => Seq("Duplicate edge ID: 'e3'", "unusual actor surface form")
+        case _ => (1 to 6).map(j => s"edge e$j: target 'q' not found") ++
+          Seq("anchor normalized", "edge flipped")
+      })
+      val tierU = udf((ws: Seq[String], h: Boolean, o: Boolean, c: Boolean) =>
+        graft.kg.extract.GraphAssembly.computeTier(ws, h, o, c))
+      val planted = pq(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(lit("c"),
+            when(col("doc_id") % 11 === 0, col("doc_id") - (col("doc_id") % 2))
+              .otherwise(col("doc_id"))).as("case_id"),
+          warnU((col("doc_id") % 6).cast("int")).as("warnings"),
+          (col("doc_id") % 5 =!= 0).as("h"),
+          (col("doc_id") % 7 =!= 0).as("o"),
+          (col("doc_id") % 4 =!= 0).as("c"),
+          when(col("doc_id") % 101 === 0, lit(500L))
+            .otherwise(col("doc_id") % 7).as("n_facts"),
+          when(col("doc_id") % 89 === 0, lit(300L))
+            .otherwise((col("doc_id") * 3) % 11).as("n_edges"),
+          when(col("doc_id") % 53 === 0, lit(0L))
+            .when(col("doc_id") % 97 === 0, lit(400L))
+            .otherwise(col("doc_id") % 9 + 1).as("n_nodes_total"))
+        .withColumn("tier", tierU(col("warnings"), col("h"), col("o"), col("c")))
+      graft.kg.eval.CorpusValidation.summary(planted.select(
+        "case_id", "warnings", "tier", "n_facts", "n_edges", "n_nodes_total"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4652,6 +4694,79 @@ object SparkEntry {
          WHERE bucket NOT IN (0,3,6,9,12,15,18,21,24,27,30)
          ORDER BY conv_id""",
 
+    "q88_corpus_validation" ->
+      // the planted warning lists are constants per variant, so severity
+      // counts reduce to the v-indexed arrays (the string classifier runs
+      // on the Spark side); tier = the computeTier CASE; pass = no
+      // error-class warnings; dup case_ids from the odd-multiple-of-11
+      // pairing; z pass mirrors statistics.mean/stdev (sample) with the
+      // n>=10 and sigma<>0 guards
+      """WITH raw AS (
+           SELECT doc_id,
+             'c' || CAST(CASE WHEN doc_id % 11 = 0
+                              THEN doc_id - (doc_id % 2)
+                              ELSE doc_id END AS VARCHAR) AS case_id,
+             CAST(doc_id % 6 AS INT) AS v,
+             doc_id % 5 <> 0 AS h, doc_id % 7 <> 0 AS o, doc_id % 4 <> 0 AS c,
+             CASE WHEN doc_id % 101 = 0 THEN 500 ELSE doc_id % 7 END AS n_facts,
+             CASE WHEN doc_id % 89 = 0 THEN 300 ELSE (doc_id * 3) % 11 END AS n_edges,
+             CASE WHEN doc_id % 53 = 0 THEN 0
+                  WHEN doc_id % 97 = 0 THEN 400
+                  ELSE doc_id % 9 + 1 END AS n_nodes_total
+           FROM documents),
+         cls AS (
+           SELECT *,
+             ([0,1,0,0,1,6])[v+1] AS n_err,
+             ([0,0,2,0,1,0])[v+1] AS n_sub,
+             ([0,0,0,1,0,2])[v+1] AS n_cos
+           FROM raw),
+         tiers AS (
+           SELECT *,
+             CASE WHEN n_err = 0 AND n_sub <= 15 AND h AND o AND c THEN 'gold'
+                  WHEN n_err <= 2 AND n_sub <= 30 AND h AND o THEN 'silver'
+                  WHEN n_err <= 5 THEN 'bronze' ELSE 'reject' END AS tier
+           FROM cls),
+         base AS (
+           SELECT CAST(count(*) AS BIGINT) AS total_graphs,
+             CAST(count(*) FILTER (WHERE n_err = 0) AS BIGINT) AS n_passed,
+             CAST(count(*) FILTER (WHERE n_err > 0) AS BIGINT) AS n_failed,
+             CAST(sum(n_err) AS BIGINT) AS total_errors,
+             CAST(sum(n_sub) AS BIGINT) AS total_substantive,
+             CAST(sum(n_cos) AS BIGINT) AS total_cosmetic,
+             CAST(count(*) FILTER (WHERE tier = 'gold') AS BIGINT) AS n_gold,
+             CAST(count(*) FILTER (WHERE tier = 'silver') AS BIGINT) AS n_silver,
+             CAST(count(*) FILTER (WHERE tier = 'bronze') AS BIGINT) AS n_bronze,
+             CAST(count(*) FILTER (WHERE tier = 'reject') AS BIGINT) AS n_reject,
+             CAST(count(*) FILTER (WHERE n_facts = 0 AND n_nodes_total > 0) AS BIGINT)
+               AS degen_no_facts,
+             CAST(count(*) FILTER (WHERE n_edges = 0 AND n_nodes_total > 2) AS BIGINT)
+               AS degen_no_edges,
+             CAST(count(*) FILTER (WHERE n_nodes_total = 0) AS BIGINT) AS degen_empty
+           FROM tiers),
+         dupg AS (
+           SELECT case_id, count(*) AS k FROM tiers
+           GROUP BY case_id HAVING count(*) > 1),
+         dups AS (
+           SELECT CAST(count(*) AS BIGINT) AS dup_case_ids,
+             CAST(coalesce(sum(k), 0) AS BIGINT) AS dup_files
+           FROM dupg),
+         mf AS (SELECT count(*) AS n, avg(n_facts) AS mu,
+             stddev_samp(n_facts) AS s FROM tiers),
+         af AS (SELECT CAST(count(*) FILTER (WHERE mf.n >= 10 AND mf.s <> 0
+             AND abs((n_facts - mf.mu) / mf.s) > 3.0) AS BIGINT) AS anom_n_facts
+           FROM tiers, mf),
+         me AS (SELECT count(*) AS n, avg(n_edges) AS mu,
+             stddev_samp(n_edges) AS s FROM tiers),
+         ae AS (SELECT CAST(count(*) FILTER (WHERE me.n >= 10 AND me.s <> 0
+             AND abs((n_edges - me.mu) / me.s) > 3.0) AS BIGINT) AS anom_n_edges
+           FROM tiers, me),
+         mn AS (SELECT count(*) AS n, avg(n_nodes_total) AS mu,
+             stddev_samp(n_nodes_total) AS s FROM tiers),
+         an AS (SELECT CAST(count(*) FILTER (WHERE mn.n >= 10 AND mn.s <> 0
+             AND abs((n_nodes_total - mn.mu) / mn.s) > 3.0) AS BIGINT) AS anom_n_nodes
+           FROM tiers, mn)
+         SELECT * FROM base, dups, af, ae, an""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5205,7 +5320,8 @@ object SparkEntry {
     "q84_density_stats" -> "closed-form SQL mirror",
     "q85_violations_filter" -> "closed-form SQL mirror",
     "q86_tier_filter" -> "closed-form SQL mirror",
-    "q87_completed_skip" -> "closed-form SQL mirror (independent Murmur3 reimplementation)"
+    "q87_completed_skip" -> "closed-form SQL mirror (independent Murmur3 reimplementation)",
+    "q88_corpus_validation" -> "closed-form SQL mirror"
   )
 
 }
