@@ -2119,6 +2119,28 @@ object SparkEntry {
         "case_id", "warnings", "tier", "n_facts", "n_edges", "n_nodes_total"))
     }),
 
+    // --- S2 deterministic corpus generator (TranscriptGen.conversation):
+    //     the full generator — FNV-1a slot hashing, template pick per body
+    //     slot, party/year/citation substitution, role alternation, tool
+    //     sampling, timestamp arithmetic — replayed turn-for-turn by the
+    //     DuckDB mirror, which reimplements FNV-1a over the (convId ++ slot)
+    //     codepoints in HUGEINT arithmetic and rebuilds every turn TEXT from
+    //     the same template tables. This is the north rule's per-turn text
+    //     equality invariant checked cross-engine: byte-identical text,
+    //     role, tool and ts for every generated turn ---
+    "q89_transcript_gen" -> ((s, dir) => {
+      val genU = udf((docId: Long) =>
+        graft.kg.gen.TranscriptGen.conversation(f"conv_$docId%06d", 14).map(t =>
+          (t.turn_idx, t.role, t.text, t.tool, t.ts.getTime)))
+      pq(s, dir, "documents")
+        .select(col("doc_id"), explode(genU(col("doc_id"))).as("t"))
+        .select(format_string("conv_%06d", col("doc_id")).as("conv_id"),
+          col("t._1").as("turn_idx"), col("t._2").as("role"),
+          col("t._3").as("text"), col("t._4").as("tool"),
+          col("t._5").as("ts_millis"))
+        .orderBy(col("conv_id"), col("turn_idx"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4767,6 +4789,144 @@ object SparkEntry {
            FROM tiers, mn)
          SELECT * FROM base, dups, af, ae, an""",
 
+    "q89_transcript_gen" ->
+      // full independent replay of the deterministic generator: FNV-1a
+      // (xor-fold over (convId ++ slot) codepoints, 64-bit wrap in HUGEINT,
+      // & Long.MaxValue) drives every template pick; texts rebuilt from the
+      // same template tables via printf; role/tool/ts arithmetic mirrored.
+      // MATERIALIZED CTEs: the hash table is referenced by 10 joins and
+      // must be computed once, not inlined per reference
+      """WITH convs AS (
+           SELECT doc_id, printf('conv_%06d', doc_id) AS cid FROM documents),
+         slotnames AS (
+           SELECT unnest(
+             ['parties','year','ts','issue','holding','outcome'] ||
+             flatten(list_transform(generate_series(0, 8), k ->
+               ['b'||k, 'b'||k||'f', 'b'||k||'n', 'b'||k||'i', 'b'||k||'a',
+                'b'||k||'c', 'b'||k||'p'])) ||
+             list_transform(generate_series(0, 12), i -> 'tool'||i)) AS slot),
+         hashes AS MATERIALIZED (
+           SELECT c.doc_id, s.slot,
+             CAST(list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(c.cid || s.slot, ''),
+                   ch -> unicode(ch)::HUGEINT)),
+               (h, ch) -> ((h - (h % 128)
+                            + xor((h % 128)::BIGINT, ch::BIGINT)::HUGEINT)
+                           * 1099511628211::HUGEINT)
+                          % 18446744073709551616::HUGEINT
+             ) % 9223372036854775808::HUGEINT AS BIGINT) AS h
+           FROM convs c CROSS JOIN slotnames s),
+         pv AS MATERIALIZED (
+           SELECT c.doc_id, c.cid,
+             (['Ram Kumar','Sunita Devi','Mohan Lal','Gopal Das','Radha Krishnan','Vijay Singh'])
+               [CAST(hp.h % 6 AS INT) + 1] AS pet,
+             (['State of Punjab','Union of India','State of Kerala',
+               'Municipal Corporation of Delhi','State of Tamil Nadu','State of Rajasthan'])
+               [CAST(hp.h % 6 AS INT) + 1] AS resp,
+             1990 + CAST(hy.h % 30 AS INT) AS year,
+             1600000000000 + CAST(ht.h % 100000000 AS BIGINT) AS base_ts
+           FROM convs c
+           JOIN hashes hp ON hp.doc_id = c.doc_id AND hp.slot = 'parties'
+           JOIN hashes hy ON hy.doc_id = c.doc_id AND hy.slot = 'year'
+           JOIN hashes ht ON ht.doc_id = c.doc_id AND ht.slot = 'ts'),
+         body AS (
+           SELECT p.doc_id, k.k + 1 AS idx,
+             CASE CAST(hb.h % 5 AS INT)
+               WHEN 0 THEN printf(
+                 (['The petitioner %s was served with a show-cause notice and the disciplinary authority passed an order terminating his services on 12.03.%d.',
+                   'The appellant %s filed a writ petition after the authority rejected the application for renewal of the licence in %d.',
+                   'An FIR was lodged against the accused %s and he was arrested on 05.07.%d without any warrant being issued.',
+                   'The respondent issued a notification acquiring the land of %s in %d, and compensation was awarded at the circle rate.',
+                   'The petitioner %s was dismissed from service without being granted any opportunity of hearing in %d.',
+                   'The tender submitted by %s was rejected and the contract was awarded to a rival bidder in %d.'])
+                   [CAST(hf.h % 6 AS INT) + 1], p.pet, p.year)
+               WHEN 1 THEN
+                 (['No notice was served upon the petitioner and no enquiry was conducted before the order was passed.',
+                   'The authority failed to supply the enquiry report and denied inspection of the records.',
+                   'The order was passed without recording any reasons and without hearing the affected party.'])
+                   [CAST(hn.h % 3 AS INT) + 1]
+               WHEN 2 THEN
+                 (['The question is whether the impugned order violates the principles of natural justice.',
+                   'The issue that arises is whether the classification satisfies the twin test of intelligible differentia and rational nexus.',
+                   'The matter falls for consideration whether the restriction pursues a legitimate aim and employs the least restrictive means.',
+                   'The point for determination is whether the amendment would destroy identity of Constitution.'])
+                   [CAST(hi.h % 4 AS INT) + 1]
+               WHEN 3 THEN
+                 (['The petitioner contends that the order was passed without affording a fair opportunity to answer the allegations.',
+                   'The respondent submits that the procedure followed was just, fair and reasonable in the circumstances.',
+                   'Learned counsel for the appellant argues that the action is manifestly arbitrary and without determining principle.',
+                   'The State urged that the measure bears a rational nexus to the object sought to be achieved.',
+                   'The prosecution asserts that the confession was recorded in accordance with law and is admissible.'])
+                   [CAST(ha.h % 5 AS INT) + 1]
+               ELSE printf(
+                 (['As held in %s, %s, the rules of natural justice operate in areas not covered by any law validly made.',
+                   'Following the ratio in %s, %s, the procedure established by law must be just, fair and reasonable.',
+                   'The facts in the present case are distinguishable from %s, %s, which turned on the language of the statute.',
+                   'The true ratio of that decision is explained in %s, %s, and it governs administrative action generally.'])
+                   [CAST(hpp.h % 4 AS INT) + 1],
+                 (['Maneka Gandhi v. Union of India','Kesavananda Bharati v. State of Kerala',
+                   'A.K. Kraipak v. Union of India','E.P. Royappa v. State of Tamil Nadu',
+                   'Olga Tellis v. Bombay Municipal Corporation','Shayara Bano v. Union of India',
+                   'K.S. Puttaswamy v. Union of India','Modern Dental College v. State of Madhya Pradesh'])
+                   [CAST(hc.h % 8 AS INT) + 1],
+                 (['AIR 1978 SC 597','AIR 1973 SC 1461','AIR 1970 SC 150','AIR 1974 SC 555',
+                   'AIR 1986 SC 180','(2017) 9 SCC 1','(2017) 10 SCC 1','(2016) 7 SCC 353'])
+                   [CAST(hc.h % 8 AS INT) + 1])
+             END AS text
+           FROM pv p
+           CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS k) k
+           JOIN hashes hb  ON hb.doc_id  = p.doc_id AND hb.slot  = 'b' || k.k
+           JOIN hashes hf  ON hf.doc_id  = p.doc_id AND hf.slot  = 'b' || k.k || 'f'
+           JOIN hashes hn  ON hn.doc_id  = p.doc_id AND hn.slot  = 'b' || k.k || 'n'
+           JOIN hashes hi  ON hi.doc_id  = p.doc_id AND hi.slot  = 'b' || k.k || 'i'
+           JOIN hashes ha  ON ha.doc_id  = p.doc_id AND ha.slot  = 'b' || k.k || 'a'
+           JOIN hashes hc  ON hc.doc_id  = p.doc_id AND hc.slot  = 'b' || k.k || 'c'
+           JOIN hashes hpp ON hpp.doc_id = p.doc_id AND hpp.slot = 'b' || k.k || 'p'),
+         tail AS (
+           SELECT p.doc_id, t.idx,
+             CASE t.idx
+               WHEN 10 THEN
+                 (['The question is whether the impugned order violates the principles of natural justice.',
+                   'The issue that arises is whether the classification satisfies the twin test of intelligible differentia and rational nexus.',
+                   'The matter falls for consideration whether the restriction pursues a legitimate aim and employs the least restrictive means.',
+                   'The point for determination is whether the amendment would destroy identity of Constitution.'])
+                   [CAST(hh.h % 4 AS INT) + 1]
+               WHEN 11 THEN
+                 (['We hold that the impugned order cannot be sustained as it was passed in violation of the principles of natural justice.',
+                   'We are of the considered view that the classification fails the test of intelligible differentia and is manifestly arbitrary.',
+                   'We accordingly hold that the restriction does not satisfy the requirement of proportionality and must be struck down.',
+                   'It must therefore be held that the dismissal order is vitiated for denial of a fair opportunity of hearing.'])
+                   [CAST(hh.h % 4 AS INT) + 1]
+               ELSE
+                 (['In the result, the appeal is accordingly allowed and the impugned order is set aside.',
+                   'For the foregoing reasons, the writ petition is allowed.',
+                   'The appeal is dismissed. The judgment of the High Court is affirmed.',
+                   'The petition is partly allowed to the extent indicated above.'])
+                   [CAST(hh.h % 4 AS INT) + 1]
+             END AS text
+           FROM pv p
+           CROSS JOIN (SELECT unnest([10, 11, 12]) AS idx) t
+           JOIN hashes hh ON hh.doc_id = p.doc_id AND hh.slot =
+             CASE t.idx WHEN 10 THEN 'issue' WHEN 11 THEN 'holding' ELSE 'outcome' END),
+         allturns AS (
+           SELECT p.doc_id, 0 AS idx,
+             printf('This matter concerns a dispute between %s and %s arising in %d.',
+               p.pet, p.resp, p.year) AS text
+           FROM pv p
+           UNION ALL SELECT doc_id, idx, text FROM body
+           UNION ALL SELECT doc_id, idx, text FROM tail)
+         SELECT printf('conv_%06d', a.doc_id) AS conv_id,
+           CAST(a.idx AS INT) AS turn_idx,
+           CASE WHEN a.idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+           a.text,
+           CASE WHEN htl.h % 7 = 0 THEN 'search' END AS tool,
+           p.base_ts + a.idx * 60000 AS ts_millis
+         FROM allturns a
+         JOIN pv p ON p.doc_id = a.doc_id
+         JOIN hashes htl ON htl.doc_id = a.doc_id AND htl.slot = 'tool' || a.idx
+         ORDER BY conv_id, turn_idx""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5321,7 +5481,8 @@ object SparkEntry {
     "q85_violations_filter" -> "closed-form SQL mirror",
     "q86_tier_filter" -> "closed-form SQL mirror",
     "q87_completed_skip" -> "closed-form SQL mirror (independent Murmur3 reimplementation)",
-    "q88_corpus_validation" -> "closed-form SQL mirror"
+    "q88_corpus_validation" -> "closed-form SQL mirror",
+    "q89_transcript_gen" -> "closed-form SQL mirror (independent FNV-1a + template replay)"
   )
 
 }
