@@ -2219,11 +2219,15 @@ object SparkEntry {
     //     sf-dir parquet tables, while every kg_* query consumes the
     //     DETERMINISTICALLY GENERATED transcripts table (TranscriptGen,
     //     derived from the sf dir's document count) and runs the rule-based
-    //     extraction grammar on it, which SQL cannot replay. Compensating
-    //     evidence: ReferenceParitySpec replays chains / justification sets /
-    //     support groups / tiers over ALL published reference graphs and
-    //     orphan repair edge-for-edge vs the published script; the full
-    //     ScalaTest suite covers each query's operator. ---
+    //     extraction grammar on it. The GENERATOR itself is SQL-replayable
+    //     and oracled turn-for-turn (q89); the EXTRACTION grammar (DFA
+    //     mention scan, clustering argmaxes, repair loop) is what SQL
+    //     cannot replay. Compensating evidence: the dual-engine check in
+    //     Verify recomputes ALL 12 kg_* projections with the pure-JVM
+    //     extractor (DUAL_ENGINE.json); ReferenceParitySpec replays chains /
+    //     justification sets / support groups / tiers over ALL published
+    //     reference graphs and orphan repair edge-for-edge vs the published
+    //     script; the full ScalaTest suite covers each query's operator. ---
     "kg_linearize" -> ((s, dir) => {
       graft.kg.query.Retrieval.linearizeStable(kgNodes(s, dir))
         .orderBy(col("conv_id"))
@@ -5480,9 +5484,9 @@ object SparkEntry {
     "q84_density_stats" -> "closed-form SQL mirror",
     "q85_violations_filter" -> "closed-form SQL mirror",
     "q86_tier_filter" -> "closed-form SQL mirror",
-    "q87_completed_skip" -> "closed-form SQL mirror (independent Murmur3 reimplementation)",
+    "q87_completed_skip" -> "closed-form SQL mirror",
     "q88_corpus_validation" -> "closed-form SQL mirror",
-    "q89_transcript_gen" -> "closed-form SQL mirror (independent FNV-1a + template replay)"
+    "q89_transcript_gen" -> "closed-form SQL mirror"
   )
 
 }
