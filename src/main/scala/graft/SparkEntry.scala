@@ -2141,6 +2141,37 @@ object SparkEntry {
         .orderBy(col("conv_id"), col("turn_idx"))
     }),
 
+    // --- S4 ontology loader/parser (Ontology.parse, extractor.py
+    //     1091-1107/1312-1406) over a planted ontology JSON exercising
+    //     every parse branch: [AND]/[OR]/other-bracket list headers,
+    //     string requires with numbered-list vs semicolon/newline
+    //     splitting, mid-string numbers (the find is line-anchored, the
+    //     split is not), quoted vs comma+quote-strip key phrases, name
+    //     splitting, label-defaults-to-id, missing fields. The mirror
+    //     re-parses the SAME JSON with DuckDB json functions; md5 over
+    //     the |-joined lists witnesses exact contents, not just counts ---
+    "q90_ontology_load" -> ((s, dir) => {
+      import s.implicits._
+      val jsonSrc =
+        """{"concepts":{"C1_ANDLIST":{"label":"And List","kind":"doctrine","requires":["[AND]"," r1 ","","r2","[note]"],"defeaters":["d1","  ","d2"],"key_phrases":"\"alpha beta\", \"gamma\", \"\"","establishing_cases":"A v. B; C v. D, E v. F"},"C2_ORLIST":{"label":"","requires":["[OR - any one suffices]","x1"," x2 "],"key_phrases":"plain one, 'quoted two', unquoted","establishing_cases":"Solo v. Case"},"C3_STRNUM":{"requires":"[AND] 1. first req 2) second req","defeaters":"1. dd 2) ee","key_phrases":""},"C4_STRSEMI":{"kind":"test","requires":"[OR] alpha; beta\ngamma","defeaters":"plain; split\nhere"},"C5_BRACKET":{"label":"Bracket","requires":["[Criminal - absolute]","q1"],"defeaters":[]},"C6_EMPTY":{},"C7_MIDNUM":{"requires":"contains 2. mid but starts plain; second part"}}}"""
+      val od = graft.kg.ontology.Ontology.parse(jsonSrc)
+      def md5hex(x: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val rows = od.concepts.values.toSeq.sortBy(_.id).map { c =>
+        (c.id, c.label, c.kind, c.logic,
+          c.requires.size, c.defeaters.size, c.keyPhrases.size,
+          c.establishingCases.size,
+          md5hex(c.requires.mkString("|")), md5hex(c.defeaters.mkString("|")),
+          md5hex(c.keyPhrases.mkString("|")),
+          md5hex(c.establishingCases.mkString("|")))
+      }
+      rows.toDF("concept_id", "label", "kind", "logic", "n_requires",
+        "n_defeaters", "n_keyphrases", "n_establishing", "req_md5",
+        "def_md5", "kp_md5", "est_md5")
+        .orderBy(col("concept_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -4931,6 +4962,107 @@ object SparkEntry {
          JOIN hashes htl ON htl.doc_id = a.doc_id AND htl.slot = 'tool' || a.idx
          ORDER BY conv_id, turn_idx""",
 
+    "q90_ontology_load" ->
+      // independent JSON re-parse: json_keys iteration, json_type branch
+      // dispatch (list vs string vs missing), the [OR/[AND/other-bracket
+      // header rules, line-anchored numbered-list detection vs unanchored
+      // split, quote-extraction vs comma+strip key phrases, label/kind
+      // defaults; md5 over |-joined lists witnesses exact contents
+      """WITH src AS (SELECT '{"concepts":{"C1_ANDLIST":{"label":"And List","kind":"doctrine","requires":["[AND]"," r1 ","","r2","[note]"],"defeaters":["d1","  ","d2"],"key_phrases":"\"alpha beta\", \"gamma\", \"\"","establishing_cases":"A v. B; C v. D, E v. F"},"C2_ORLIST":{"label":"","requires":["[OR - any one suffices]","x1"," x2 "],"key_phrases":"plain one, ''quoted two'', unquoted","establishing_cases":"Solo v. Case"},"C3_STRNUM":{"requires":"[AND] 1. first req 2) second req","defeaters":"1. dd 2) ee","key_phrases":""},"C4_STRSEMI":{"kind":"test","requires":"[OR] alpha; beta\ngamma","defeaters":"plain; split\nhere"},"C5_BRACKET":{"label":"Bracket","requires":["[Criminal - absolute]","q1"],"defeaters":[]},"C6_EMPTY":{},"C7_MIDNUM":{"requires":"contains 2. mid but starts plain; second part"}}}' AS j),
+         ids AS (SELECT unnest(json_keys(j, '$.concepts')) AS cid, j FROM src),
+         c AS (SELECT cid, json_extract(j, '$.concepts.' || cid) AS cj FROM ids),
+         fields AS (
+           SELECT cid,
+             json_extract_string(cj, '$.label') AS label_raw,
+             json_extract_string(cj, '$.kind') AS kind_raw,
+             CASE WHEN json_type(cj, '$.requires') = 'ARRAY'
+               THEN list_transform(json_transform(json_extract(cj, '$.requires'),
+                 '["VARCHAR"]'), x -> trim(x)) END AS rlist,
+             CASE WHEN json_type(cj, '$.requires') = 'VARCHAR'
+               THEN trim(json_extract_string(cj, '$.requires')) END AS rstr,
+             CASE WHEN json_type(cj, '$.defeaters') = 'ARRAY'
+               THEN list_transform(json_transform(json_extract(cj, '$.defeaters'),
+                 '["VARCHAR"]'), x -> trim(x)) END AS dlist,
+             CASE WHEN json_type(cj, '$.defeaters') = 'VARCHAR'
+               THEN trim(json_extract_string(cj, '$.defeaters')) END AS dstr,
+             json_extract_string(cj, '$.key_phrases') AS kp,
+             json_extract_string(cj, '$.establishing_cases') AS es
+           FROM c),
+         req AS (
+           SELECT cid, label_raw, kind_raw, kp, es, dlist, dstr,
+             CASE
+               WHEN rlist IS NOT NULL AND len(rlist) > 0 THEN
+                 CASE WHEN upper(rlist[1]) LIKE '[OR%' THEN 'or' ELSE 'and' END
+               WHEN rstr IS NOT NULL AND rstr <> '' THEN
+                 CASE WHEN upper(rstr) LIKE '[OR%' THEN 'or' ELSE 'and' END
+               ELSE 'and' END AS logic,
+             CASE
+               WHEN rlist IS NOT NULL AND len(rlist) > 0 THEN
+                 list_filter(
+                   rlist[(CASE WHEN rlist[1] LIKE '[%' THEN 2 ELSE 1 END):],
+                   x -> x <> '' AND upper(x) NOT LIKE '[%')
+               WHEN rstr IS NOT NULL AND rstr <> '' THEN
+                 list_filter(list_transform(
+                   CASE WHEN regexp_matches(
+                       CASE WHEN upper(rstr) LIKE '[OR%'
+                              THEN regexp_replace(rstr, '^\s*\[OR\]?\s*', '', 'i')
+                            WHEN upper(rstr) LIKE '[AND%'
+                              THEN regexp_replace(rstr, '^\s*\[AND\]?\s*', '', 'i')
+                            ELSE rstr END, '(?m)^\s*\d+[.)]\s*')
+                     THEN regexp_split_to_array(
+                       CASE WHEN upper(rstr) LIKE '[OR%'
+                              THEN regexp_replace(rstr, '^\s*\[OR\]?\s*', '', 'i')
+                            WHEN upper(rstr) LIKE '[AND%'
+                              THEN regexp_replace(rstr, '^\s*\[AND\]?\s*', '', 'i')
+                            ELSE rstr END, '\d+[.)]\s*')
+                     ELSE regexp_split_to_array(
+                       CASE WHEN upper(rstr) LIKE '[OR%'
+                              THEN regexp_replace(rstr, '^\s*\[OR\]?\s*', '', 'i')
+                            WHEN upper(rstr) LIKE '[AND%'
+                              THEN regexp_replace(rstr, '^\s*\[AND\]?\s*', '', 'i')
+                            ELSE rstr END, '[\n;]+') END,
+                   x -> trim(x)), x -> x <> '')
+               ELSE CAST([] AS VARCHAR[]) END AS requires
+           FROM fields),
+         dfs AS (
+           SELECT cid, label_raw, kind_raw, kp, es, logic, requires,
+             CASE
+               WHEN dlist IS NOT NULL THEN list_filter(dlist, x -> x <> '')
+               WHEN dstr IS NOT NULL AND dstr <> '' THEN
+                 list_filter(list_transform(
+                   CASE WHEN regexp_matches(dstr, '(?m)^\s*\d+[.)]\s*')
+                     THEN regexp_split_to_array(dstr, '\d+[.)]\s*')
+                     ELSE regexp_split_to_array(dstr, '[\n;]+') END,
+                   x -> trim(x)), x -> x <> '')
+               ELSE CAST([] AS VARCHAR[]) END AS defeaters,
+             CASE
+               WHEN kp IS NULL OR kp = '' THEN CAST([] AS VARCHAR[])
+               WHEN len(regexp_extract_all(kp, '"(.*?)"', 1)) > 0 THEN
+                 list_filter(list_transform(regexp_extract_all(kp, '"(.*?)"', 1),
+                   x -> trim(x)), x -> x <> '')
+               ELSE list_filter(list_transform(string_split(kp, ','),
+                 x -> trim(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(trim(x), '^"', ''), '"$', ''),
+                   '^' || chr(39), ''), chr(39) || '$', ''))), x -> x <> '') END AS keyphrases,
+             CASE WHEN es IS NULL THEN CAST([] AS VARCHAR[])
+               ELSE list_filter(list_transform(
+                 regexp_split_to_array(es, '[\n;]+|,'), x -> trim(x)),
+                 x -> x <> '') END AS establishing
+           FROM req)
+         SELECT cid AS concept_id,
+           CASE WHEN label_raw IS NOT NULL AND label_raw <> '' THEN label_raw
+                ELSE cid END AS label,
+           coalesce(kind_raw, '') AS kind, logic,
+           CAST(len(requires) AS INT) AS n_requires,
+           CAST(len(defeaters) AS INT) AS n_defeaters,
+           CAST(len(keyphrases) AS INT) AS n_keyphrases,
+           CAST(len(establishing) AS INT) AS n_establishing,
+           md5(coalesce(array_to_string(requires, '|'), '')) AS req_md5,
+           md5(coalesce(array_to_string(defeaters, '|'), '')) AS def_md5,
+           md5(coalesce(array_to_string(keyphrases, '|'), '')) AS kp_md5,
+           md5(coalesce(array_to_string(establishing, '|'), '')) AS est_md5
+         FROM dfs ORDER BY concept_id""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5486,7 +5618,8 @@ object SparkEntry {
     "q86_tier_filter" -> "closed-form SQL mirror",
     "q87_completed_skip" -> "closed-form SQL mirror",
     "q88_corpus_validation" -> "closed-form SQL mirror",
-    "q89_transcript_gen" -> "closed-form SQL mirror"
+    "q89_transcript_gen" -> "closed-form SQL mirror",
+    "q90_ontology_load" -> "closed-form SQL mirror"
   )
 
 }
