@@ -2172,6 +2172,60 @@ object SparkEntry {
         .orderBy(col("concept_id"))
     }),
 
+    // --- T14 graph JSON serialization (GraphJsonWriter.toJson, the
+    //     schema-v2.1 per-case document): planted graphs varying every
+    //     nullable/branching surface — anchor present/absent, secondary
+    //     spans, null case_year, missing outcome, empty vs non-empty
+    //     support groups / warnings, JSON escaping (quote + backslash in a
+    //     text field) — serialized by the REAL writer; the mirror rebuilds
+    //     the BYTE-IDENTICAL string with DuckDB's independent JSON emitter
+    //     (to_json over nested structs, same key order) ---
+    "q91_json_serialize" -> ((s, dir) => {
+      val jsonU = udf((docId: Long) => {
+        import graft.kg.model._
+        val v2 = (docId % 2).toInt; val v3 = (docId % 3).toInt
+        val v4 = (docId % 4).toInt; val v5 = (docId % 5).toInt
+        val cid = "c" + docId
+        val confs = Seq("high", "medium", "low", "inferred")
+        val fAnchor =
+          if (v2 == 0) Anchor("doc", v5, v5 + 7, "h" + v3, "p1", "srf text",
+            if (v3 == 0) Seq(SpanRef(1, 4)) else Nil)
+          else null
+        def node(id: String, nt: String) = Node(cid, id, nt, null, null, null,
+          null, null, null, isRatio = false, null, null, null, null, null,
+          null, "high", null, "rule")
+        val fact = node("f1", "fact").copy(
+          text = Seq("The notice was served on time", "he said \"stop\" \\ now")(v2),
+          factType = Seq("procedural", "substantive", "finding")(v3),
+          anchor = fAnchor, confidence = confs(v4))
+        val holding = node("h1", "holding").copy(text = "We hold so",
+          isRatio = v5 != 0, resolvesIssue = if (v3 == 0) null else "i1")
+        val precedent = node("p1", "precedent").copy(
+          citation = "AIR 1978 SC 597", caseName = "M v. U",
+          caseYear = if (v5 == 0) null
+            else Integer.valueOf(1950 + (docId % 60).toInt),
+          citationType = "reported", treatment = "followed", relevance = "high")
+        val outcome =
+          if (v4 != 0) Seq(node("o1", "outcome").copy(disposition = "allowed",
+            text = "relief granted"))
+          else Nil
+        val edge = EdgeRow(cid, "e1", "f1", "h1", "supports", confs(v4),
+          "strong", v3 == 0, if (v2 == 0) Seq("js1") else Nil,
+          if (v4 == 0) null else "because", null, "rule", null)
+        val js = JustificationSetRow(cid, "js1", "h1", "and", "L", v2 == 0, "high")
+        val chain = ChainRow(cid, "ch1", "i1", "h1", Seq("f1"), Nil, Nil,
+          Seq("e1"), if (v2 == 0) "js1" else null,
+          if (v3 == 0) Seq("f1") else Nil, "narrative text")
+        graft.kg.io.GraphJsonWriter.toJson(cid,
+          Seq(fact, holding, precedent) ++ outcome, Seq(edge), Seq(js),
+          Seq(chain), Seq("gold", "silver", "bronze", "reject")(v4),
+          Seq("w one", "w two").take(v3))
+      })
+      pq(s, dir, "documents")
+        .select(col("doc_id"), jsonU(col("doc_id")).as("json"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -5063,6 +5117,87 @@ object SparkEntry {
            md5(coalesce(array_to_string(establishing, '|'), '')) AS est_md5
          FROM dfs ORDER BY concept_id""",
 
+    "q91_json_serialize" ->
+      // DuckDB's own JSON emitter (to_json over nested structs in the
+      // writer's key order) rebuilds the document byte-for-byte: compact
+      // separators, minimal escaping (the planted quote+backslash text
+      // witnesses it), null struct -> null, typed empty arrays, int vs
+      // null case_year, missing outcome -> null
+      """WITH v AS (
+           SELECT doc_id,
+             CAST(doc_id % 2 AS INT) AS v2, CAST(doc_id % 3 AS INT) AS v3,
+             CAST(doc_id % 4 AS INT) AS v4, CAST(doc_id % 5 AS INT) AS v5,
+             'c' || CAST(doc_id AS VARCHAR) AS cid,
+             (['high','medium','low','inferred'])[CAST(doc_id % 4 AS INT) + 1] AS conf
+           FROM documents)
+         SELECT doc_id,
+           to_json(struct_pack(
+             case_id := cid,
+             facts := [struct_pack(
+               id := 'f1', "type" := 'fact',
+               text := (['The notice was served on time', 'he said "stop" \ now'])[v2 + 1],
+               anchor := CASE WHEN v2 = 0 THEN struct_pack(
+                   doc_id := 'doc', start_char := v5, end_char := v5 + 7,
+                   text_hash := 'h' || CAST(v3 AS VARCHAR), display_location := 'p1',
+                   secondary_spans := CASE WHEN v3 = 0
+                     THEN [struct_pack(start_char := 1, end_char := 4)]
+                     ELSE CAST([] AS STRUCT(start_char INT, end_char INT)[]) END,
+                   surface_text := 'srf text') END,
+               fact_type := (['procedural','substantive','finding'])[v3 + 1],
+               court_finding := NULL::VARCHAR,
+               confidence := conf, provenance := NULL::VARCHAR)],
+             concepts := CAST([] AS VARCHAR[]),
+             issues := CAST([] AS VARCHAR[]),
+             arguments := CAST([] AS VARCHAR[]),
+             holdings := [struct_pack(
+               id := 'h1', "type" := 'holding', text := 'We hold so',
+               anchor := NULL::VARCHAR, is_ratio := v5 <> 0,
+               resolves_issue := CASE WHEN v3 = 0 THEN NULL ELSE 'i1' END,
+               confidence := 'high', provenance := NULL::VARCHAR)],
+             precedents := [struct_pack(
+               id := 'p1', "type" := 'precedent', citation := 'AIR 1978 SC 597',
+               anchor := NULL::VARCHAR, case_name := 'M v. U',
+               case_year := CASE WHEN v5 = 0 THEN NULL
+                 ELSE CAST(1950 + doc_id % 60 AS INT) END,
+               citation_type := 'reported', text := NULL::VARCHAR,
+               treatment := 'followed', relevance := 'high',
+               confidence := 'high', provenance := NULL::VARCHAR)],
+             outcome := CASE WHEN v4 <> 0 THEN struct_pack(
+               id := 'o1', "type" := 'outcome', disposition := 'allowed',
+               anchor := NULL::VARCHAR, relief_summary := 'relief granted',
+               confidence := 'high', provenance := NULL::VARCHAR) END,
+             justification_sets := [struct_pack(
+               id := 'js1', "type" := 'justification_set', target_id := 'h1',
+               logic := 'and', label := 'L', is_primary := v2 = 0,
+               confidence := 'high', provenance := NULL::VARCHAR)],
+             edges := [struct_pack(
+               id := 'e1', source := 'f1', target := 'h1', relation := 'supports',
+               anchor := NULL::VARCHAR,
+               explanation := CASE WHEN v4 = 0 THEN NULL ELSE 'because' END,
+               confidence := conf, strength := 'strong',
+               support_group_ids := CASE WHEN v2 = 0 THEN ['js1']
+                 ELSE CAST([] AS VARCHAR[]) END,
+               is_critical := v3 = 0, provenance := NULL::VARCHAR)],
+             reasoning_chains := [struct_pack(
+               id := 'ch1', issue_id := 'i1', fact_ids := ['f1'],
+               concept_ids := CAST([] AS VARCHAR[]),
+               argument_ids := CAST([] AS VARCHAR[]),
+               holding_id := 'h1', edge_ids := ['e1'],
+               justification_set_id := CASE WHEN v2 = 0 THEN 'js1' ELSE NULL END,
+               critical_nodes := CASE WHEN v3 = 0 THEN ['f1']
+                 ELSE CAST([] AS VARCHAR[]) END,
+               narrative := 'narrative text')],
+             "_meta" := struct_pack(
+               schema_version := '2.1.2',
+               quality_tier := (['gold','silver','bronze','reject'])[v4 + 1],
+               extraction_model := 'graft_rule_engine_v1',
+               extraction_timestamp := NULL::VARCHAR,
+               retry_attempts := 0,
+               validation_warnings := CASE v3 WHEN 0 THEN CAST([] AS VARCHAR[])
+                 WHEN 1 THEN ['w one'] ELSE ['w one','w two'] END)
+           ))::VARCHAR AS json
+         FROM v ORDER BY doc_id""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5619,7 +5754,8 @@ object SparkEntry {
     "q87_completed_skip" -> "closed-form SQL mirror",
     "q88_corpus_validation" -> "closed-form SQL mirror",
     "q89_transcript_gen" -> "closed-form SQL mirror",
-    "q90_ontology_load" -> "closed-form SQL mirror"
+    "q90_ontology_load" -> "closed-form SQL mirror",
+    "q91_json_serialize" -> "closed-form SQL mirror"
   )
 
 }
