@@ -2226,6 +2226,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- 2.10 streaming: the REAL watermarked windowed rollup
+    //     (TranscriptStream.eventRollup) run as an actual Structured
+    //     Streaming query (file source → AvailableNow → memory sink,
+    //     complete mode so every window ships). Output is order-insensitive
+    //     (per-window counts/sums), so the batch SQL mirror is exact; sums
+    //     floor-rounded to 2dp in BOTH engines (values are planted 2dp, fp
+    //     error ~1e-10 ≪ the 0.005 boundary) ---
+    "q92_stream_rollup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> session-UTC
+      val rolled = graft.kg.streaming.TranscriptStream.eventRollup(src)
+      val qname = "q92_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = rolled.writeStream.format("memory").queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname)
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("n"),
+          (floor(col("sum_value") * 100 + lit(0.5)) / 100).as("sum_value2"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // --- 2.10 streaming exact dedup (TranscriptStream.dedupStream →
+    //     dropDuplicatesWithinWatermark): planted monotone event time
+    //     (epoch + doc_id seconds) with a watermark delay covering the
+    //     whole span, so every duplicate is suppressed exactly once and
+    //     the surviving KEY SET (not the order-dependent winning row) is
+    //     the deterministic output the batch mirror reproduces ---
+    "q93_stream_dedup" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val src = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("planted duplicate body "), col("doc_id") % 7))
+            .otherwise(col("text")).as("text"))
+        .withColumn("ts", (lit(1704067200L) + col("doc_id")).cast("timestamp"))
+      val dd = graft.kg.streaming.TranscriptStream.dedupStream(
+        src, watermarkDelay = "48 hours")
+      val qname = "q93_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = dd.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).select(col("text_hash")).orderBy(col("text_hash"))
+    }),
+
     // --- qrels construction: regex relevance judging over raw text ---
     "q29_regex_qrels" -> ((s, dir) => {
       graft.kg.eval.Qrels.buildRegexQrels(
@@ -5198,6 +5250,25 @@ object SparkEntry {
            ))::VARCHAR AS json
          FROM v ORDER BY doc_id""",
 
+    "q92_stream_rollup" ->
+      // the streaming rollup is a plain per-(hour window, type) aggregate
+      // once every row has arrived: date_trunc mirrors the epoch-aligned
+      // 1-hour window; counts are exact; sums floor-rounded at 2dp
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           floor(sum(value) * 100 + 0.5) / 100 AS sum_value2
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q93_stream_dedup" ->
+      // with the watermark covering the whole planted time span, streaming
+      // dedup emits exactly one row per distinct content hash — the key
+      // set equals batch DISTINCT sha256
+      """SELECT DISTINCT sha256(
+           CASE WHEN doc_id % 5 = 0
+                THEN 'planted duplicate body ' || CAST(doc_id % 7 AS VARCHAR)
+                ELSE text END) AS text_hash
+         FROM documents ORDER BY text_hash""",
+
     "q29_regex_qrels" ->
       // fallback-strategy patterns for the made-up concept ids reduce to the
       // two-token phrase regexes mirrored here
@@ -5755,7 +5826,9 @@ object SparkEntry {
     "q88_corpus_validation" -> "closed-form SQL mirror",
     "q89_transcript_gen" -> "closed-form SQL mirror",
     "q90_ontology_load" -> "closed-form SQL mirror",
-    "q91_json_serialize" -> "closed-form SQL mirror"
+    "q91_json_serialize" -> "closed-form SQL mirror",
+    "q92_stream_rollup" -> "closed-form SQL mirror",
+    "q93_stream_dedup" -> "closed-form SQL mirror"
   )
 
 }
