@@ -2253,9 +2253,9 @@ object SparkEntry {
     }),
 
     // --- 2.10 streaming exact dedup (TranscriptStream.dedupStream →
-    //     dropDuplicatesWithinWatermark): planted monotone event time
-    //     (epoch + doc_id seconds) with a watermark delay covering the
-    //     whole span, so every duplicate is suppressed exactly once and
+    //     dropDuplicatesWithinWatermark): planted event time
+    //     (epoch + doc_id%86400 seconds) with a watermark delay covering
+    //     the whole span at any sf, so every duplicate is suppressed exactly once and
     //     the surviving KEY SET (not the order-dependent winning row) is
     //     the deterministic output the batch mirror reproduces ---
     "q93_stream_dedup" -> ((s, dir) => {
@@ -2266,7 +2266,11 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0,
             concat(lit("planted duplicate body "), col("doc_id") % 7))
             .otherwise(col("text")).as("text"))
-        .withColumn("ts", (lit(1704067200L) + col("doc_id")).cast("timestamp"))
+        .withColumn("ts",
+          (lit(1704067200L) + col("doc_id") % 86400).cast("timestamp"))
+      // span capped at 1 day (< the 48 h delay) at ANY scale factor, so no
+      // key is ever evicted mid-stream and suppression is total — the key
+      // set stays deterministic however large the sf dir grows
       val dd = graft.kg.streaming.TranscriptStream.dedupStream(
         src, watermarkDelay = "48 hours")
       val qname = "q93_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
