@@ -67,23 +67,38 @@ object SparkEntry {
     * that cycles many sessions neither reuses stale persisted plans nor
     * accumulates dead entries. */
   private val kgMemo =
-    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph]]]()
+    new java.util.IdentityHashMap[SparkSession, scala.collection.mutable.Map[String, (org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph], DataFrame)]]()
 
-  private def kgGraphs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph] =
+  private def kgMemoEntry(s: SparkSession, dir: String): (org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph], DataFrame) =
     kgMemo.synchronized {
       val it = kgMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       var m = kgMemo.get(s)
       if (m == null) { m = scala.collection.mutable.Map.empty; kgMemo.put(s, m) }
-      m.getOrElseUpdate(dir,
-        KgPipeline.graphs(s, transcripts(s, dir))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      m.getOrElseUpdate(dir, {
+        val g = KgPipeline.graphs(s, transcripts(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // columnar tagged-union projection of the SAME cached corpus: every
+        // relational kg_* query reads only its branch's struct column from
+        // this cache instead of paying a full ConvGraph object decode per
+        // projection per rep (kg_json_export alone still consumes the graph
+        // objects). Queries remain projections of the extract-once memo.
+        val u = KgPipeline.allTables(g).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (g, u)
+      })
     }
 
+  private def kgGraphs(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.kg.model.ConvGraph] =
+    kgMemoEntry(s, dir)._1
+
+  private def kgBranch(s: SparkSession, dir: String, branch: String): DataFrame =
+    kgMemoEntry(s, dir)._2.filter(col(branch).isNotNull).select(col(branch + ".*"))
+
   private def kgNodes(s: SparkSession, dir: String): DataFrame =
-    KgPipeline.nodes(kgGraphs(s, dir)).toDF()
+    kgBranch(s, dir, "node")
   private def kgEdges(s: SparkSession, dir: String): DataFrame =
-    KgPipeline.edges(kgGraphs(s, dir)).toDF()
+    kgBranch(s, dir, "edge")
 
   /** Flagship query on sf=0.001: full extract → triples. */
   def entry(spark: SparkSession): DataFrame = {
@@ -2240,12 +2255,26 @@ object SparkEntry {
         .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> session-UTC
       val rolled = graft.kg.streaming.TranscriptStream.eventRollup(src)
       val qname = "q92_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = rolled.writeStream.format("memory").queryName(qname)
+      // state partitions are a per-micro-batch FIXED cost (every partition
+      // opens/commits a state store even when empty), so they are sized to
+      // the stream's key cardinality (parameterized), not to the batch
+      // session's shuffle-partition count; any value computes identical
+      // results. Conf is restored after the stream finishes.
+      val spPrev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+      val q = try rolled.writeStream.format("memory").queryName(qname)
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", spPrev)
       q.awaitTermination()
       s.table(qname)
+        // NOTE the cross-engine equality here leans on the 2dp PLANT:
+        // eventRollup round(sum, 4) happens BEFORE this floor-round while
+        // the DuckDB mirror floor-rounds the raw sum at 2dp directly — the
+        // two pipelines agree only because planted event values are exact
+        // 2dp multiples, so both land on the same 2dp value.
         .select(col("window.start").cast("long").as("win_start"),
           col("event_type"), col("n"),
           (floor(col("sum_value") * 100 + lit(0.5)) / 100).as("sum_value2"))
@@ -2274,10 +2303,17 @@ object SparkEntry {
       val dd = graft.kg.streaming.TranscriptStream.dedupStream(
         src, watermarkDelay = "48 hours")
       val qname = "q93_mem_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = dd.writeStream.format("memory").queryName(qname)
+      // state partitions sized to key throughput, not batch core count —
+      // see q92; identical results at any value, conf restored after start
+      // (the stream's cloned session keeps its snapshot).
+      val spPrev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.getOption("spark.graft.stream.statePartitions").getOrElse("8"))
+      val q = try dd.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", spPrev)
       q.awaitTermination()
       s.table(qname).select(col("text_hash")).orderBy(col("text_hash"))
     }),
@@ -2387,7 +2423,7 @@ object SparkEntry {
       graft.kg.query.GraphOps.holdingSupport(
         kgNodes(s, dir),
         kgEdges(s, dir),
-        KgPipeline.justificationSets(kgGraphs(s, dir)).toDF())
+        kgBranch(s, dir, "js"))
         .select(col("conv_id"), col("holding_id"),
           concat_ws(",", col("grounding_concepts")).as("grounding_concepts"),
           concat_ws(",", col("supporting_facts")).as("supporting_facts"),
@@ -2397,25 +2433,29 @@ object SparkEntry {
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_triples" -> ((s, dir) => {
-      KgPipeline.triples(KgPipeline.edges(kgGraphs(s, dir)))
+      // same projection as KgPipeline.triples, over the columnar edge branch
+      kgEdges(s, dir).select(
+        col("convId").as("conv_id"), col("source").as("subj"),
+        col("relation").as("pred"), col("target").as("obj"))
         .orderBy(col("conv_id"), col("subj"), col("pred"), col("obj"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_relation_histogram" -> ((s, dir) => {
-      KgPipeline.edges(kgGraphs(s, dir)).toDF()
+      kgEdges(s, dir)
         .groupBy(col("relation")).agg(count(lit(1)).as("n"))
         .orderBy(col("relation"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_node_histogram" -> ((s, dir) => {
-      KgPipeline.nodes(kgGraphs(s, dir)).toDF()
+      kgNodes(s, dir)
         .groupBy(col("nodeType")).agg(count(lit(1)).as("n"))
         .orderBy(col("nodeType"))
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_tier_histogram" -> ((s, dir) => {
-      val g = kgGraphs(s, dir)
-      KgPipeline.tierHistogram(KgPipeline.summaries(g))
+      // same shape as KgPipeline.tierHistogram, over the summary branch
+      kgBranch(s, dir, "summary")
+        .groupBy(col("qualityTier")).count().orderBy(col("qualityTier"))
     }),
     // --- cross-conversation canonicalization (union-find over candidate
     //     name↔citation match edges; C1 lifted to corpus scale) ---
@@ -2442,8 +2482,7 @@ object SparkEntry {
     }),
     // no oracle: input is the generated transcripts table, not sf-dir parquet
     "kg_orphans" -> ((s, dir) => {
-      val g = kgGraphs(s, dir)
-      KgPipeline.orphans(KgPipeline.nodes(g), KgPipeline.edges(g))
+      KgPipeline.orphans(kgNodes(s, dir), kgEdges(s, dir))
         .groupBy(col("nodeType")).count().orderBy(col("nodeType"))
     })
   )

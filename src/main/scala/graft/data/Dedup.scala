@@ -36,43 +36,61 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
   }
 
-  /** Word n-gram shingles as an array column (lowercased tokens). */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = split(lower(textCol), "\\W+")
-    // sliding windows via transform over index range
-    val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) >= n,
-      array_distinct(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Expression-level let binding: evaluate `x` ONCE per row and expose it
+    * to `f` as a lambda variable — lambda bodies re-evaluate captured
+    * expression subtrees per element (quadratic for split() inputs), while
+    * a lambda variable is a cheap slot read. */
+  private def bound(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), v => f(v)), 1)
 
-  /** doc → (id, sig_0..sig_{k-1}) minhash signature via k seeded xxhash64
-    * min-aggregates (no UDF; map-side combine). */
+  /** Word n-gram shingles as an array column (lowercased tokens). */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    bound(split(lower(textCol), "\\W+")) { toks =>
+      // sliding windows via transform over index range; `toks` is a bound
+      // lambda variable, so the split runs once per row, not once per window
+      val idxs = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+      when(size(toks) >= n,
+        array_distinct(transform(idxs, i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+
+  /** doc → (id, sig array<long> of length k) minhash signature as ONE
+    * row-level expression chain — no explode, no aggregation, no shuffle
+    * (the previous form re-hashed every shingle STRING k times through a
+    * 64-column min-aggregate and paid the groupBy exchange; guide §2.4).
+    * Each distinct shingle is hashed ONCE to a 64-bit key; the k permutation
+    * hashes are k fixed-width `xxhash64(key, i)` remixes of that key. This
+    * is a different (equally uniform) hash family than hashing the string k
+    * times: band-level candidate recall obeys the same (1 − J^r)^bands
+    * bound, and both q17 paths verify candidates exactly downstream. */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, shingleN: Int = 3): DataFrame = {
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
-    val aggs = (0 until k).map(i => min(xxhash64(col("sh"), lit(i))).as(s"sig_$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+      k: Int = 64, shingleN: Int = 3): DataFrame =
+    df.select(col(idCol).as("id"),
+      // the shingle-key array MUST ride as a lambda variable: as a
+      // single-use projected column, CollapseProject would inline it into
+      // the k-iteration lambda and re-shingle the text k times per row
+      bound(transform(shingles(col(textCol), shingleN), s => xxhash64(s))) { hs =>
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform(hs, h => xxhash64(h, i))))
+      }.as("sig"))
 
   /** Candidate near-dup pairs via banded LSH over the signature, verified by
     * signature agreement ≥ `threshold` (the standard unbiased Jaccard
-    * estimator). Returns (a, b, est_jaccard) with a < b. */
+    * estimator). Input: (id, sig) from [[minhashSignatures]]. Returns
+    * (a, b, est_jaccard) with a < b. */
   def minhashPairs(
       signatures: DataFrame, idCol: String,
       k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucketSize: Int = 64): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sigCols = (0 until k).map(i => col(s"sig_$i"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"sig_$i")): _*).as("bh"))
+        xxhash64((b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
     }
     val buckets = signatures
-      .select(col(idCol).as("id"), array(sigCols: _*).as("sig"),
+      .select(col("id"), col("sig"),
         explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
     // cap pathological buckets (boilerplate bands) — log-visible, not silent:
@@ -143,9 +161,13 @@ object Dedup {
     // while cutting the J≈0.2 co-bucket noise (candidate prob ≈ 0.73 at
     // r=2×32 bands) before any shingle array is dragged through the join.
     val sigma = math.sqrt(threshold * (1 - threshold) / k)
+    // lazily checkpointed: the candidate list is consumed twice downstream
+    // (the broadcast id semi-join and the pair join), which would otherwise
+    // re-run the whole LSH subtree per consumer
     val cand = minhashPairs(sigs, idCol, k, bands,
       threshold = math.max(0.0, threshold - 3 * sigma))
       .select(col("a"), col("b"))
+      .localCheckpoint(false)
     // verify on compact hashed-shingle long arrays, not string arrays: the
     // Jaccard of the 64-bit-hashed distinct shingle sets equals the string
     // set's (collision prob ~n²/2⁶⁴, vanishing), at a fraction of the
@@ -175,12 +197,22 @@ object Dedup {
   /** Exact n-gram Jaccard on 64-bit-HASHED shingle sets: identical joins to
     * [[exactJaccard]] but each distinct shingle rides as one long instead of
     * a string — same Jaccard value w.h.p. (hash collisions within a doc's
-    * shingle set are ~n²/2⁶⁴), far cheaper to shuffle and intersect. */
+    * shingle set are ~n²/2⁶⁴), far cheaper to shuffle and intersect.
+    *
+    * Shingle arrays are computed ONLY for ids that appear in a candidate
+    * pair (broadcast semi-join before the shingling projection): the
+    * decision rides on small rows and the heavy shingle payload is built
+    * once per candidate doc — the naive two-sided join shingled the whole
+    * corpus twice per verification pass. */
   def exactJaccardHashed(
       pairs: DataFrame, df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
-      array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
+    val candIds = pairs
+      .select(explode(array(col("a"), col("b"))).as(idCol)).distinct()
+    val sh = df
+      .join(broadcast(candIds), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        array_distinct(transform(shingles(col(textCol), shingleN), s => xxhash64(s))).as("sh"))
     pairs
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")

@@ -18,20 +18,28 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "las", "que", "por", "con", "una"),
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"))
 
+  /** Expression-level let binding: evaluate `x` once per row and expose it
+    * to `f` as a lambda variable (captured subtrees inside lambdas are
+    * otherwise re-evaluated per element/reference). */
+  private def bound(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), v => f(v)), 1)
+
   private def profileScore(toks: Column, words: Seq[String]): Column =
     size(array_intersect(toks, array(words.map(lit(_)): _*))) * 1000 +
       words.map(w => size(filter(toks, t => t === lit(w)))).reduce(_ + _)
 
   /** Heuristic language-ID column over a text column. Deterministic argmax
-    * with fixed tie order (en, fr, es, de), zh via CJK character presence. */
-  def langId(text: Column): Column = {
-    val toks = split(lower(text), "\\W+")
-    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
-      struct(profileScore(toks, ws).as("s"), lit(l).as("l"))
+    * with fixed tie order (en, fr, es, de), zh via CJK character presence.
+    * The token split is bound once per row — the 4 profiles' 36 references
+    * to it are lambda-variable reads, not 36 re-splits. */
+  def langId(text: Column): Column =
+    bound(split(lower(text), "\\W+")) { toks =>
+      val scored = LangProfiles.toSeq.sortBy(_._1).map { case (l, ws) =>
+        struct(profileScore(toks, ws).as("s"), lit(l).as("l"))
+      }
+      when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .otherwise(greatest(scored: _*).getField("l"))
     }
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .otherwise(greatest(scored: _*).getField("l"))
-  }
 
   /** Token count: word-ish runs (letters/digits, BPE-ish sub-splitting on
     * case/digit boundaries approximated by the regex). */
@@ -98,13 +106,16 @@ object TextAnalysis {
     * is unaffected (DataOpsSpec). */
   def fingerprintPairs(df: DataFrame, idCol: String, textCol: String,
                        minShared: Int = 10, maxDf: Int = 64): DataFrame = {
+    // LAZY checkpoints: both pin their result (the winnow UDF runs once, the
+    // pair join reads materialized rows) but materialize inside the ONE
+    // nHot count job instead of two extra eager jobs
     val fp = fingerprints(df, idCol, textCol)
       .select(col(idCol).as("id"), explode(col("fingerprints")).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val hot = fp.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select(col("fp"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nHot = hot.count()
     if (nHot > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -31,25 +31,34 @@ object DensityValidation {
     * stands in for entities, token count for dependency relations, and
     * punctuation marks for clause boundaries — (e + r + c) / t like the
     * reference's SpaCy formula (:89-90). */
-  def densityProxy(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+  private def densityFromToks(toks: Column, text: Column): Column = {
     val t = size(toks).cast("double")
     val e = size(array_distinct(toks)).cast("double")
     val c = length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
     when(t > 0, (e + t + c) / t).otherwise(lit(0.0))
   }
 
+  def densityProxy(text: Column): Column = {
+    // bind the token extraction once per row (lambda-variable let): the two
+    // size() references are slot reads, not two regex passes
+    val toksE = regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+    element_at(transform(array(toksE), toks => densityFromToks(toks, text)), 1)
+  }
+
   /** Per-doc table (id, density, tokens, accuracy): accuracy is the binary
     * agreement between the language-ID operator's prediction and the table
     * label — the engine's own prediction-vs-gold bit, standing in for the
-    * reference's LLM outcome correctness. */
+    * reference's LLM outcome correctness. The token regex runs ONCE per row
+    * (staged projection); density and tokens read the bound array. */
   def perDoc(df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      densityProxy(col(textCol)).as("density"),
-      size(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tokens"),
-      (graft.data.TextAnalysis.langId(col(textCol)) === col(langCol))
-        .cast("int").as("accuracy"))
+    df.select(col(idCol), col(textCol).as("_text_"), col(langCol).as("_lang_"),
+        regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("_toks_"))
+      .select(
+        col(idCol),
+        densityFromToks(col("_toks_"), col("_text_")).as("density"),
+        size(col("_toks_")).as("tokens"),
+        (graft.data.TextAnalysis.langId(col("_text_")) === col("_lang_"))
+          .cast("int").as("accuracy"))
 
   /** LEGACY/test shape: ntile(4) over a global (density, id) ORDER BY
     * window — a deterministic total order both engines reproduce exactly,

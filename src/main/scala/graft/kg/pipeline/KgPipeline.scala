@@ -43,6 +43,17 @@ final case class MentionKeyRow(
 /** Column-pruned edge row for the canonical triple rewrite. */
 final case class TripleEdgeRow(convId: String, source: String, relation: String, target: String)
 
+/** Tagged union of EVERY materialized table's row type, emitted by
+  * [[KgPipeline.allTablesDirect]] in one extraction pass. Persisted as a
+  * DataFrame (columnar cache), each table projection reads ONLY its own
+  * struct column — unlike a cached Dataset[ConvGraph], whose every
+  * projection pays a full object-decode of the nested graph per row.
+  * (Top-level + public for the Spark encoder.) */
+final case class MatRow(
+    node: Option[Node], edge: Option[EdgeRow], js: Option[JustificationSetRow],
+    chain: Option[ChainRow], member: Option[ClusterMemberRow],
+    requirement: Option[RequirementRow], summary: Option[ConvSummary])
+
 /** Tagged union emitted by [[KgPipeline.canonicalInputsDirect]]: the
   * extraction-boundary projection of exactly what canonicalization consumes.
   * The full [[NodeOrEdge]] union persists every node field (text, anchors,
@@ -267,6 +278,44 @@ object KgPipeline {
     }
   }
 
+  /** Extraction → ALL 7 table projections in ONE pass, as a tagged union
+    * (one branch per output table; triples derive from the edge branch).
+    * Persist `.toDF()` and project each table with
+    * `filter(col(branch).isNotNull).select(col("branch.*"))`: extraction
+    * runs once, and every projection is a column-pruned scan of the
+    * columnar cache instead of a full ConvGraph object decode. Emission
+    * order per conversation (nodes, edges, js, chains, members,
+    * requirements, summary) keeps each filtered branch in exactly the row
+    * order the per-table `flatMap` projections produced. */
+  private def matRows(g: ConvGraph): Iterator[MatRow] = {
+    val empty = MatRow(None, None, None, None, None, None, None)
+    g.nodes.iterator.map(n => empty.copy(node = Some(n))) ++
+      g.edges.iterator.map(e => empty.copy(edge = Some(e))) ++
+      g.justificationSets.iterator.map(j => empty.copy(js = Some(j))) ++
+      g.chains.iterator.map(c => empty.copy(chain = Some(c))) ++
+      g.clusterMembers.iterator.map(m => empty.copy(member = Some(m))) ++
+      g.requirements.iterator.map(r => empty.copy(requirement = Some(r))) ++
+      Iterator.single(empty.copy(summary = Some(g.summary)))
+  }
+
+  def allTablesDirect(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      jurisdiction: String = "in",
+      ontology: OntologyData = Ontology.default,
+      prePartitioned: Boolean = false): Dataset[MatRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MatRow]
+    flatExtract(spark, transcripts, jurisdiction, ontology, prePartitioned)(matRows)
+  }
+
+  /** The same tagged union projected from an already-extracted graph
+    * dataset (one object-decode pass; projections of the persisted result
+    * are then column-pruned cache scans). */
+  def allTables(g: Dataset[ConvGraph]): Dataset[MatRow] = {
+    implicit val enc = org.apache.spark.sql.Encoders.product[MatRow]
+    g.flatMap(matRows)
+  }
+
   /** Extraction → per-conversation summaries in one pass. */
   def summariesDirect(
       spark: SparkSession,
@@ -324,7 +373,7 @@ object KgPipeline {
   /** Orphan detection: node ids that appear in no edge (evaluate_graphs.py:
     * 142-184 / repair_orphans.py:293-322) — left-anti join against the union
     * of edge endpoints. */
-  def orphans(nodes: Dataset[Node], edges: Dataset[EdgeRow]): DataFrame = {
+  def orphans(nodes: Dataset[_], edges: Dataset[_]): DataFrame = {
     val n = nodes.toDF()
     val e = edges.toDF()
     val connected = e.select(col("convId"), col("source").as("id"))

@@ -222,9 +222,12 @@ object GraphOps {
       startNodeId: String, maxDepth: Int = 10): DataFrame = {
     // pin the edge plan once: the iterative frontier joins re-reference it
     // every round, and expression-derived caller plans can otherwise trip
-    // attribute re-resolution against the checkpointed frontiers
+    // attribute re-resolution against the checkpointed frontiers.
+    // LAZY checkpoints throughout: materialization rides the count job of
+    // the same round, halving the per-round job count (fixed job latency
+    // dominates these small iterative graphs).
     val e0 = edges.select(col("convId"), col("source"), col("target"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var frontier = e0.filter(col("source") === startNodeId)
       .select(col("convId"), col("target").as("id")).distinct()
     var acc = frontier
@@ -237,7 +240,7 @@ object GraphOps {
         .select(col("e.convId").as("convId"), col("e.target").as("id"))
         .distinct()
         .join(acc, Seq("convId", "id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       newCount = frontier.count()
       acc = acc.union(frontier)
       i += 1

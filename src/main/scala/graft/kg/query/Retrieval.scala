@@ -41,22 +41,57 @@ object Retrieval {
   private def tokens(c: Column): Column =
     filter(split(lower(c), "\\W+"), t => length(t) > 0)
 
+  /** Expression-level let binding: evaluate `x` ONCE per row and expose it
+    * to `f` as a lambda variable. Higher-order-function lambdas re-evaluate
+    * any captured expression SUBTREE once per element (a lambda body
+    * holding `element_at(split(...), i)` re-splits the string for every i —
+    * quadratic); a lambda VARIABLE is a cheap slot read. */
+  private def bound(x: Column)(f: Column => Column): Column =
+    element_at(transform(array(x), v => f(v)), 1)
+
   /** Unigrams + adjacent bigrams (the reference TfidfVectorizer uses
     * ngram_range=(1,2), eval_retrieval_v2.py:653). */
-  private def unigramsAndBigrams(c: Column): Column = {
-    val toks = tokens(c)
-    val idxs = sequence(lit(1), greatest(size(toks) - 1, lit(0)))
-    concat(toks, when(size(toks) >= 2,
-      transform(idxs, i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array()))
-  }
+  private def unigramsAndBigrams(c: Column): Column =
+    bound(tokens(c)) { toks =>
+      val idxs = sequence(lit(1), greatest(size(toks) - 1, lit(0)))
+      concat(toks, when(size(toks) >= 2,
+        transform(idxs, i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+        .otherwise(array()))
+    }
 
-  /** (doc_id, term, tf) long table from (doc_id, doc_text). */
+  /** In-row run-length term counting: sort the term array, find the run
+    * boundaries, emit (term, tf) structs — a pure per-row expression chain,
+    * so per-doc term frequencies need NO explode-then-groupBy shuffle of the
+    * full token stream (guide §2.3 "aggregate before you shuffle", taken to
+    * its limit: the aggregation happens inside the row). */
+  private def termFreqPairs(terms: Column): Column =
+    bound(array_sort(terms)) { s =>
+      val n = size(s)
+      // run boundaries: interior positions i (1-based) with s[i] != s[i+1],
+      // plus the final position n. Guards keep `sequence` ascending (Spark's
+      // sequence(1, 0) would DESCEND) and never index out of range.
+      val interior = when(n >= 2,
+        filter(sequence(lit(1), n - 1), i => element_at(s, i) =!= element_at(s, i + 1)))
+        .otherwise(array().cast("array<int>"))
+      bound(concat(interior, array(n))) { bs =>
+        when(n === 0, array().cast("array<struct<term:string,tf:bigint>>"))
+          .otherwise(transform(sequence(lit(1), size(bs)), j =>
+            struct(
+              element_at(s, element_at(bs, j)).as("term"),
+              (element_at(bs, j) -
+                when(j === 1, lit(0)).otherwise(element_at(bs, j - 1)))
+                .cast("long").as("tf"))))
+      }
+    }
+
+  /** (doc_id, term, tf) long table from (doc_id, doc_text). One row per
+    * distinct (doc_id, term) — counting is in-row (termFreqPairs), no
+    * shuffle. */
   private def termFreqs(docs: DataFrame, idCol: String, textCol: String,
                         bigrams: Boolean = false): DataFrame = {
     val terms = if (bigrams) unigramsAndBigrams(col(textCol)) else tokens(col(textCol))
-    docs.select(col(idCol).as("doc_id"), explode(terms).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    docs.select(col(idCol).as("doc_id"), explode(termFreqPairs(terms)).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
   }
 
   /** Materialized TF-IDF index: L2-normalized doc vectors + per-term idf.
@@ -77,15 +112,19 @@ object Retrieval {
       bigrams: Boolean = true): TfidfIndex = {
     val tfs = termFreqs(docs, idCol, textCol, bigrams).localCheckpoint()
     val nDocs = docs.count().toDouble
-    val dfs = tfs.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // tfs is unique per (doc_id, term) by construction, so df is a plain
+    // count — countDistinct would plan a redundant distinct expansion
+    val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf", log((lit(1.0) + lit(nDocs)) / (lit(1.0) + col("df"))) + 1.0)
       .select(col("term"), col("idf"))
       .localCheckpoint()
-    val weights = tfs.join(dfs, "term")
+    // L2 norm via an unordered window over doc_id: ONE pass / one exchange
+    // instead of groupBy + self-join (which evaluated the tfs⋈dfs subtree
+    // twice and shuffled it twice, guide §2.4)
+    val wNorm = Window.partitionBy(col("doc_id"))
+    val docVec = tfs.join(dfs, "term")
       .withColumn("w", (lit(1.0) + log(col("tf"))) * col("idf"))
-    val norms = weights.groupBy(col("doc_id"))
-      .agg(sqrt(sum(col("w") * col("w"))).as("norm"))
-    val docVec = weights.join(norms, "doc_id")
+      .withColumn("norm", sqrt(sum(col("w") * col("w")).over(wNorm)))
       .select(col("doc_id"), col("term"), (col("w") / col("norm")).as("dw"))
       .localCheckpoint()
     TfidfIndex(docVec, dfs, bigrams)
@@ -128,7 +167,8 @@ object Retrieval {
     val docLens = tfs.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val avgdl = docLens.agg(avg(col("dl"))).first().getDouble(0)
     val nDocs = docs.count().toDouble
-    val dfs = tfs.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    // tfs is unique per (doc_id, term): plain count == distinct doc count
+    val dfs = tfs.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("idf",
         log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     val qTerms = queries

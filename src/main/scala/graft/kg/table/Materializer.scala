@@ -1,6 +1,5 @@
 package graft.kg.table
 
-import graft.kg.model.ConvGraph
 import graft.kg.ontology.{Ontology, OntologyData}
 import graft.kg.pipeline.KgPipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -61,26 +60,36 @@ object Materializer {
     if (pendingBuckets.isEmpty)
       return Report(store.snapshots.last.id, Nil, done.toList.sorted, Map.empty)
 
-    // one extraction pass, persisted, fanned out to the 8 output tables
-    // the resume filter preserves within-partition order, so the
+    // one extraction pass, persisted as a COLUMNAR tagged union and fanned
+    // out to the 8 output tables: each table projection reads only its own
+    // struct column from the cache (column pruning), where the previous
+    // Dataset[ConvGraph] cache paid a full nested-object decode per row for
+    // every one of the 8 writes (guide §1.2 "don't compute things you throw
+    // away"). The resume filter preserves within-partition order, so the
     // pre-partitioned (shuffle-free) layout stays conversation-contiguous
-    val graphs: org.apache.spark.sql.Dataset[ConvGraph] =
-      KgPipeline.graphs(spark, pending.drop("bucket"), jurisdiction, ontology,
+    // and each branch keeps the exact row order of the per-table flatMaps.
+    val union: DataFrame =
+      KgPipeline.allTablesDirect(spark, pending.drop("bucket"), jurisdiction,
+        Option(ontology).getOrElse(graft.kg.ontology.Ontology.forJurisdiction(jurisdiction)),
         prePartitioned = prePartitioned)
+        .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def branch(name: String): DataFrame =
+      union.filter(col(name).isNotNull).select(col(name + ".*"))
 
     def addBucket(df: DataFrame, convCol: String): DataFrame =
       df.withColumn("bucket", bucketOf(col(convCol), nBuckets))
 
     val outputs: Seq[(String, DataFrame)] = Seq(
-      "nodes" -> KgPipeline.nodes(graphs).toDF(),
-      "edges" -> KgPipeline.edges(graphs).toDF(),
-      "triples" -> KgPipeline.triples(KgPipeline.edges(graphs)).withColumnRenamed("conv_id", "convId"),
-      "justification_sets" -> KgPipeline.justificationSets(graphs).toDF(),
-      "chains" -> KgPipeline.chains(graphs).toDF(),
-      "cluster_members" -> KgPipeline.clusterMembers(graphs).toDF(),
-      "requirements" -> KgPipeline.requirements(graphs).toDF(),
-      "summaries" -> KgPipeline.summaries(graphs).toDF())
+      "nodes" -> branch("node"),
+      "edges" -> branch("edge"),
+      "triples" -> branch("edge").select(col("convId"), col("source").as("subj"),
+        col("relation").as("pred"), col("target").as("obj")),
+      "justification_sets" -> branch("js"),
+      "chains" -> branch("chain"),
+      "cluster_members" -> branch("member"),
+      "requirements" -> branch("requirement"),
+      "summaries" -> branch("summary"))
 
     val rowCounts = scala.collection.mutable.Map.empty[String, Long]
     for ((name, df) <- outputs) {
@@ -110,9 +119,14 @@ object Materializer {
     }
 
     // per-bucket lineage: extraction counts from summaries + an
-    // order-independent content hash over the triple set
-    val summariesB = addBucket(KgPipeline.summaries(graphs).toDF(), "convId")
-    val lineageAgg = summariesB.groupBy(col("bucket")).agg(
+    // order-independent content hash over the triple set. Both aggregate the
+    // JUST-WRITTEN parquet (tiny columnar scans, bucket-pruned to this run's
+    // buckets) instead of re-decoding the extraction cache two more times —
+    // the same rows by construction (reconstructStats reads the same files).
+    val pendingSet = pendingBuckets
+    val lineageAgg = spark.read.parquet(s"$root/summaries")
+      .filter(col("bucket").isin(pendingSet: _*))
+      .groupBy(col("bucket")).agg(
       count(lit(1)).as("convs"),
       sum(col("nTurns")).as("input_rows"),
       sum(col("nFacts")).as("facts"), sum(col("nConcepts")).as("concepts"),
@@ -121,16 +135,15 @@ object Materializer {
       sum(col("nEdges")).as("edges"), sum(col("nChains")).as("chains"))
       .collect().map(r => r.getInt(0) -> r).toMap
 
-    val triplesB = addBucket(
-      KgPipeline.triples(KgPipeline.edges(graphs)).withColumnRenamed("conv_id", "convId"), "convId")
-    val hashByBucket = triplesB
+    val hashByBucket = spark.read.parquet(s"$root/triples")
+      .filter(col("bucket").isin(pendingSet: _*))
       .withColumn("rh", xxhash64(concat_ws("|", col("convId"), col("subj"), col("pred"), col("obj"))))
       .groupBy(col("bucket"))
       // bit_xor: order-independent, overflow-free under ANSI mode
       .agg(expr("bit_xor(rh)").as("h"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    graphs.unpersist()
+    union.unpersist()
 
     val lineage = pendingBuckets.map { b =>
       lineageAgg.get(b) match {
