@@ -24,17 +24,43 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The anchor's L2 norm as a LITERAL, replicating the `norm` expression's
+    * exact IEEE evaluation order (left fold of (((0+x₀²)+x₁²)+…), then
+    * sqrt) so the value is bit-identical to evaluating `norm(anchorCol(c))`
+    * per row — the per-row aggregate over a constant 64-literal array was
+    * pure overhead (16 cells × every row). */
+  private def anchorNorm(c: Int, dim: Int): Double = {
+    val a = anchorArray(c, dim)
+    var s = 0.0
+    var i = 0
+    while (i < dim) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** cosine(emb, anchor c) with the anchor norm folded to a literal and the
+    * embedding norm supplied by the caller (bound once per row, not once
+    * per cell). Arithmetic is identical to `cosine(emb, anchorCol(c))`:
+    * dot / (normEmb * normAnchor) with the same operand order. */
+  private def cosineToAnchor(emb: Column, normEmb: Column, c: Int, dim: Int): Column =
+    dot(emb, anchorCol(c, dim)) / (normEmb * lit(anchorNorm(c, dim)))
+
   /** Exact top-k neighbors for each query vector (brute force).
     * queries: (query_id, embedding); base: (vec_id, embedding).
     * Returns (query_id, vec_id, cosine, rank). The base side is scanned once
     * per query via a broadcast of the (small) query set. */
   def bruteForceTopK(
       queries: DataFrame, base: DataFrame, k: Int = 10): DataFrame = {
-    val q = broadcast(queries.select(col("query_id"), col("embedding").as("q_emb")))
-    val scored = base.select(col("vec_id"), col("embedding").as("v_emb"))
+    // norms ride as columns computed once per input row; the per-pair
+    // cosine is then dot / (_qn * _vn) — the same operand order as
+    // cosine(q_emb, v_emb), so values are bit-identical, at 1/3 of the
+    // per-pair aggregate evaluations
+    val q = broadcast(queries.select(col("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("_qn")))
+    val scored = base.select(col("vec_id"), col("embedding").as("v_emb"),
+        norm(col("embedding")).as("_vn"))
       .crossJoin(q)
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("v_emb")))
+      .withColumn("cosine", dot(col("q_emb"), col("v_emb")) / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -59,11 +85,18 @@ object Similarity {
   private def anchorCol(c: Int, dim: Int): Column =
     array(anchorArray(c, dim).map(lit(_)): _*)
 
-  /** Assign each vector to its nearest anchor cell: (vec_id, cell). */
+  /** Assign each vector to its nearest anchor cell: (vec_id, cell).
+    * The embedding norm is STAGED as a column (computed once per row, read
+    * as an attribute by all 16 cells — a multi-use non-cheap alias, which
+    * CollapseProject keeps staged) and anchor norms are literals — 16
+    * aggregate evaluations per row instead of 48, with the scalar argmax
+    * tree still codegen-friendly. */
   def ivfAssign(base: DataFrame, cells: Int, dim: Int): DataFrame = {
     val sims = (0 until cells).map(c =>
-      struct(round(cosine(col("embedding"), anchorCol(c, dim)), 9).as("s"), lit(c).as("c")))
-    base.withColumn("cell", greatest(sims: _*).getField("c"))
+      struct(round(cosineToAnchor(col("embedding"), col("_n_"), c, dim), 9).as("s"), lit(c).as("c")))
+    base.withColumn("_n_", norm(col("embedding")))
+      .withColumn("cell", greatest(sims: _*).getField("c"))
+      .drop("_n_")
   }
 
   /** IVF top-k: probe the `nProbe` best cells per query only. Exactness is
@@ -73,17 +106,24 @@ object Similarity {
       queries: DataFrame, base: DataFrame, dim: Int,
       cells: Int = 16, nProbe: Int = 4, k: Int = 10): DataFrame = {
     val baseCells = ivfAssign(base, cells, dim)
-    val qCells = queries.select(col("query_id"), col("embedding").as("q_emb"),
-      array((0 until cells).map(c =>
-        struct(round(cosine(col("embedding"), anchorCol(c, dim)), 9).as("s"), lit(c).as("c"))): _*).as("cs"))
+    val qCells = queries
+      .select(col("query_id"), col("embedding").as("q_emb"),
+        norm(col("embedding")).as("_qn"))
+      .withColumn("cs", array((0 until cells).map(c =>
+        struct(round(cosineToAnchor(col("q_emb"), col("_qn"), c, dim), 9).as("s"),
+          lit(c).as("c"))): _*))
       .withColumn("probe", slice(array_sort(col("cs"),
         (l, r) => when(l.getField("s") > r.getField("s"), -1)
           .when(l.getField("s") < r.getField("s"), 1).otherwise(0)), 1, nProbe))
-      .select(col("query_id"), col("q_emb"), explode(col("probe")).as("p"))
-      .select(col("query_id"), col("q_emb"), col("p.c").as("cell"))
-    val scored = baseCells.join(broadcast(qCells), "cell")
+      .select(col("query_id"), col("q_emb"), col("_qn"), explode(col("probe")).as("p"))
+      .select(col("query_id"), col("q_emb"), col("_qn"), col("p.c").as("cell"))
+    // per-pair cosine as dot / (_qn * _vn): same operand order as
+    // cosine(q_emb, embedding) — bit-identical, norms computed per row
+    // instead of per pair
+    val scored = baseCells.withColumn("_vn", norm(col("embedding")))
+      .join(broadcast(qCells), "cell")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cosine", dot(col("q_emb"), col("embedding")) / (col("_qn") * col("_vn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -277,10 +317,14 @@ object Similarity {
     val ranked = b.withColumn("rn", row_number().over(
       Window.partitionBy(col("bucket")).orderBy(col("vec_id"))))
       .filter(col("rn") <= maxBucketSize)
-    val l = ranked.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
-    val r = ranked.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
+    // norms computed once per bucket member, not once per candidate pair;
+    // dot / (_na * _nb) keeps the exact operand order of cosine(ea, eb)
+    val l = ranked.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"),
+      norm(col("embedding")).as("_na"))
+    val r = ranked.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"),
+      norm(col("embedding")).as("_nb"))
     l.join(r, "bucket").filter(col("a") < col("b"))
-      .withColumn("cosine", cosine(col("ea"), col("eb")))
+      .withColumn("cosine", dot(col("ea"), col("eb")) / (col("_na") * col("_nb")))
       .filter(col("cosine") >= threshold)
       .select(col("a"), col("b"), round(col("cosine"), 6).as("cosine"))
       .distinct()
