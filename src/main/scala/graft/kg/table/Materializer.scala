@@ -91,18 +91,35 @@ object Materializer {
       "requirements" -> branch("requirement"),
       "summaries" -> branch("summary"))
 
-    val rowCounts = scala.collection.mutable.Map.empty[String, Long]
-    for ((name, df) <- outputs) {
-      val b = addBucket(df, "convId")
-      // dynamic partition overwrite: re-running an uncommitted bucket after a
-      // mid-write failure replaces (not duplicates) its partition dirs
-      b.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(s"$root/$name")
-      // count what was WRITTEN (column-less scan over the output footers),
-      // not a recompute of the table's full lineage
-      rowCounts(name) = spark.read.parquet(s"$root/$name").count()
-    }
+    // materialize the shared extraction cache ONCE (a cheap columnar count)
+    // before fanning the 8 independent table writes out over a small thread
+    // pool: concurrent jobs back-fill each other's straggler tails instead
+    // of running 8 short jobs strictly serially. Each write is to its own
+    // directory, so ordering is irrelevant; results are identical.
+    union.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val rowCounts: Map[String, Long] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = outputs.map { case (name, df) =>
+          scala.concurrent.Future {
+            val b = addBucket(df, "convId")
+            // dynamic partition overwrite: re-running an uncommitted bucket
+            // after a mid-write failure replaces (not duplicates) its
+            // partition dirs
+            b.write.mode(SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("bucket").parquet(s"$root/$name")
+            // count what was WRITTEN (column-less scan over the output
+            // footers), not a recompute of the table's full lineage
+            name -> spark.read.parquet(s"$root/$name").count()
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).toMap
+      } finally pool.shutdown()
 
     // split-integrity guard for the trusting shuffle-free read: if a
     // mid-file split ever cut a conversation in two, the consecutive-run
@@ -166,7 +183,7 @@ object Materializer {
     }
 
     val snap = store.commit(lineage)
-    Report(snap.id, pendingBuckets, done.toList.sorted, rowCounts.toMap)
+    Report(snap.id, pendingBuckets, done.toList.sorted, rowCounts)
   }
 
   /** Read a materialized table (bucket-partitioned parquet). */
