@@ -48,6 +48,30 @@ class DataOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(3L) == 3L, m.toString)    // distinct doc stands alone
   }
 
+  test("minhash signature equals an independent explode+groupBy recompute") {
+    // pins the row-level signature form (one string hash per shingle, k
+    // fixed-width remixes, codegen min-aggregates) against a structurally
+    // different Spark plan computing the same definition:
+    //   sig_i = min over shingles s of xxhash64(xxhash64(s), i)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark joins at scale"),
+      (3L, "short one")).toDF("doc_id", "text")
+    val got = Dedup.minhashSignatures(df, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val expected = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(min(xxhash64(col("h"), lit(0))).as("s0"), min(xxhash64(col("h"), lit(1))).as("s1"),
+        min(xxhash64(col("h"), lit(2))).as("s2"), min(xxhash64(col("h"), lit(3))).as("s3"),
+        min(xxhash64(col("h"), lit(4))).as("s4"), min(xxhash64(col("h"), lit(5))).as("s5"),
+        min(xxhash64(col("h"), lit(6))).as("s6"), min(xxhash64(col("h"), lit(7))).as("s7"))
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, sig) <- got) assert(sig == expected(id), s"doc $id")
+  }
+
   test("exact jaccard on candidate pairs") {
     val df = Seq((1L, "a b c d e"), (2L, "a b c d x")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("a", "b")

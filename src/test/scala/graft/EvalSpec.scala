@@ -172,6 +172,42 @@ class EvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.toSeq == oneShotA.toSeq)
   }
 
+  test("tfidf doc vectors match an explode+groupBy reference recompute") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // pins the in-row run-length term counting + window-based L2 norm
+    // against a structurally different plan computing the sklearn formula
+    // (sublinear tf, smooth idf, l2 norm) from first principles, including
+    // the 1-2-gram construction over a doc with repeated terms
+    val docs = Seq(
+      ("d1", "spark join spark join merge"), ("d2", "window filter scan"),
+      ("d3", "spark"), ("d4", "")).toDF("conv_id", "doc_text")
+    val idx = Retrieval.buildTfidfIndex(spark, docs)
+    val got = idx.docVectors.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // reference: explode raw 1-2 grams, count, then the same weighting
+    def grams(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    }
+    val rows = Seq("d1", "d2", "d3", "d4").flatMap { id =>
+      val text = docs.filter(col("conv_id") === id).head().getString(1)
+      grams(text).groupBy(identity).map { case (t, xs) => (id, t, xs.size.toLong) }
+    }
+    val n = 4.0
+    val dfs = rows.groupBy(_._2).map { case (t, xs) => t -> xs.size }
+    val w = rows.map { case (id, t, tf) =>
+      (id, t) -> (1.0 + math.log(tf)) * (math.log((1 + n) / (1.0 + dfs(t))) + 1.0)
+    }.toMap
+    val norms = w.groupBy(_._1._1).map { case (id, m) =>
+      id -> math.sqrt(m.values.map(x => x * x).sum)
+    }
+    val expected = w.map { case ((id, t), x) => (id, t) -> x / norms(id) }
+    assert(got.keySet == expected.keySet)
+    for ((k, v) <- got)
+      assert(math.abs(v - expected(k)) < 1e-12, s"$k: $v vs ${expected(k)}")
+  }
+
   test("end-to-end: regex qrels -> TF-IDF vs BM25 -> metrics -> significance") {
     import spark.implicits._
     val transcripts = (0 until 40)

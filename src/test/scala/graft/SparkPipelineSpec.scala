@@ -302,6 +302,26 @@ class SparkPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("conv_id", "holding_id"))
   }
 
+  test("allTables tagged-union branches equal the typed per-table projections") {
+    // pins the columnar MatRow union (Materializer + the kg_* query memo)
+    // against the original Dataset[ConvGraph] flatMap projections: same
+    // rows, same multiset, for every branch
+    val df = transcriptsDF(25)
+    val g = KgPipeline.graphs(spark, df).persist()
+    val union = KgPipeline.allTables(g).toDF()
+    def branch(name: String) =
+      union.filter(col(name).isNotNull).select(col(name + ".*"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(branch("node") == KgPipeline.nodes(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("edge") == KgPipeline.edges(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("js") == KgPipeline.justificationSets(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("chain") == KgPipeline.chains(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("member") == KgPipeline.clusterMembers(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("requirement") == KgPipeline.requirements(g).toDF().collect().map(_.toString).sorted.toSeq)
+    assert(branch("summary") == KgPipeline.summaries(g).toDF().collect().map(_.toString).sorted.toSeq)
+    g.unpersist()
+  }
+
   test("materialized triples equal the direct-path triples") {
     val root = Files.createTempDirectory("graft_eq").toString
     val df = transcriptsDF(30)
