@@ -35,37 +35,56 @@ object GraphQuality {
       .agg((count_if(col("valid")) / count(lit(1))).as("edge_validity"))
   }
 
-  /** Composite per-conversation quality report + 1-10 score. */
+  /** Composite per-conversation quality report + 1-10 score.
+    *
+    * One aggregation pass per input table (edges, nodes) and ONE join, instead
+    * of four independent per-conv aggregations + an endpoint distinct + two
+    * row-level joins + three full-outer joins. Per-graph membership questions
+    * (is this node an edge endpoint? is this issue resolved by some holding?)
+    * are answered against per-conversation id arrays carried out of the
+    * aggregations — graphs are per-conversation and bounded, so the arrays
+    * stay small at any corpus scale. Row semantics are preserved exactly:
+    * connectivity counts non-outcome node ROWS whose id is an endpoint
+    * (collect_list keeps duplicate rows), issue resolution counts DISTINCT
+    * issue ids (the old groupBy(conv, issue_id) collapsed duplicates), and a
+    * conv missing from either side yields null → 0.0 fills exactly as the old
+    * full-outer chain did (0/0 divisions are null pre-fill in both shapes). */
   def score(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val validity = edgeValidity(edges)
+    val validTriples: Seq[String] = Relations.Matrix.toSeq.flatMap {
+      case ((s, t), rels) => rels.map(r => s"$s|$t|$r")
+    }.sorted
+    val typeOf = udf((id: String) => Relations.nodeTypeFromId(id))
 
-    val endpoints = edges.select(col("convId"), col("source").as("id"))
-      .union(edges.select(col("convId"), col("target").as("id"))).distinct()
-    val connectivity = nodes.filter(col("nodeType") =!= "outcome")
-      .join(endpoints.withColumnRenamed("id", "cid"),
-        nodes("convId") === endpoints("convId") && nodes("id") === col("cid"), "left")
-      .groupBy(nodes("convId").as("conv_id"))
-      .agg((count_if(col("cid").isNotNull) / count(lit(1))).as("connectivity"))
-
-    val resolution = nodes.filter(col("nodeType") === "issue")
-      .select(col("convId"), col("id").as("issue_id"))
-      .join(nodes.filter(col("nodeType") === "holding")
-        .select(col("convId"), col("resolvesIssue")),
-        Seq("convId"), "left")
-      .groupBy(col("convId").as("conv_id"), col("issue_id"))
-      .agg(max(when(col("resolvesIssue") === col("issue_id"), 1).otherwise(0)).as("resolved"))
-      .groupBy(col("conv_id"))
-      .agg((sum(col("resolved")) / count(lit(1))).as("issue_resolution"))
-
-    val anchors = nodes
+    val edgeAgg = edges
+      .withColumn("sig", concat_ws("|",
+        typeOf(col("source")), typeOf(col("target")), col("relation")))
       .groupBy(col("convId").as("conv_id"))
-      .agg((count_if(col("anchor").isNotNull &&
-        col("anchor.endChar") > col("anchor.startChar")) / count(lit(1))).as("anchor_quality"))
+      .agg(
+        (count_if(col("sig").isin(validTriples: _*)) / count(lit(1))).as("edge_validity"),
+        array_distinct(flatten(collect_list(array(col("source"), col("target")))))
+          .as("endpoints"))
 
-    validity
-      .join(connectivity, Seq("conv_id"), "full_outer")
-      .join(resolution, Seq("conv_id"), "full_outer")
-      .join(anchors, Seq("conv_id"), "full_outer")
+    val nodeAgg = nodes
+      .groupBy(col("convId").as("conv_id"))
+      .agg(
+        (count_if(col("anchor").isNotNull &&
+          col("anchor.endChar") > col("anchor.startChar")) / count(lit(1)))
+          .as("anchor_quality"),
+        count_if(col("nodeType") =!= "outcome").as("n_non_outcome"),
+        collect_list(when(col("nodeType") =!= "outcome", col("id")))
+          .as("non_outcome_ids"),
+        array_distinct(collect_list(when(col("nodeType") === "issue", col("id"))))
+          .as("issue_ids"),
+        collect_set(when(col("nodeType") === "holding", col("resolvesIssue")))
+          .as("resolves"))
+
+    edgeAgg.join(nodeAgg, Seq("conv_id"), "full_outer")
+      .withColumn("connectivity",
+        size(filter(col("non_outcome_ids"), x => array_contains(col("endpoints"), x)))
+          .cast("double") / col("n_non_outcome"))
+      .withColumn("issue_resolution",
+        size(array_intersect(col("issue_ids"), col("resolves"))).cast("double") /
+          size(col("issue_ids")))
       .na.fill(0.0)
       // weighted 1-10: validity 3, connectivity 3, resolution 2, anchors 1.
       // Rounding is the explicit floor(x·10^k + 0.5)/10^k form: pure IEEE
