@@ -2247,7 +2247,12 @@ object SparkEntry {
     //     complete mode so every window ships). Output is order-insensitive
     //     (per-window counts/sums), so the batch SQL mirror is exact; sums
     //     floor-rounded to 2dp in BOTH engines (values are planted 2dp, fp
-    //     error ~1e-10 ≪ the 0.005 boundary) ---
+    //     error ~1e-10 ≪ the 0.005 boundary). NOTE the Spark path also
+    //     applies eventRollup's intermediate round(sum, 4) before the 2dp
+    //     floor-round while the DuckDB mirror floor-rounds the raw sum —
+    //     the two agree ONLY because planted values are exactly 2dp, so both
+    //     pipelines land on the same 2dp multiple; re-planting non-2dp event
+    //     values requires mirroring the round(…,4) too ---
     "q92_stream_rollup" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val src = s.readStream.schema(schema)

@@ -89,33 +89,46 @@ object Dedup {
       maxBucketSize: Int = 64): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
+    // the signature table is consumed three times below (bucketing + the two
+    // per-pair attach joins) — lazily checkpoint so the signature aggregation
+    // runs once, not once per plan reference
+    val sigs = signatures.localCheckpoint(false)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         xxhash64((b * r until (b + 1) * r).map(i => element_at(col("sig"), i + 1)): _*).as("bh"))
     }
-    val buckets = signatures
-      .select(col("id"), col("sig"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    // Bucketing, capping and pairing ride LIGHTWEIGHT (band, bh, id) rows
+    // only — the k-long signature array is attached ONCE per distinct
+    // candidate pair afterwards (guide §8: decide with small rows, move the
+    // heavy payload once). The previous shape dragged sig through the cap
+    // window's shuffle and BOTH sides of the band self-join (~3·bands·|sig|
+    // bytes per doc); est_jaccard is a pure function of the two signatures,
+    // so computing it once per distinct pair (instead of once per co-bucket
+    // occurrence, then max-deduping equal values) yields the identical set.
+    val buckets = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
     // cap pathological buckets (boilerplate bands) — log-visible, not silent:
     // the cap column is retained by callers that want drop accounting
     val ranked = buckets.withColumn("rn",
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("band"), col("bh")).orderBy(col("id"))))
       .filter(col("rn") <= maxBucketSize)
-    val a = ranked.select(col("band"), col("bh"), col("id").as("a"), col("sig").as("sig_a"))
-    val b = ranked.select(col("band"), col("bh"), col("id").as("b"), col("sig").as("sig_b"))
+    val a = ranked.select(col("band"), col("bh"), col("id").as("a"))
+    val b = ranked.select(col("band"), col("bh"), col("id").as("b"))
+    val candPairs = a.join(b, Seq("band", "bh"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     val est = {
       val matches = zip_with(col("sig_a"), col("sig_b"),
         (x, y) => when(x === y, 1).otherwise(0))
       aggregate(matches, lit(0), (acc, x) => acc + x).cast("double") / lit(k)
     }
-    a.join(b, Seq("band", "bh"))
-      .filter(col("a") < col("b"))
+    candPairs
+      .join(sigs.select(col("id").as("a"), col("sig").as("sig_a")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sig_b")), "b")
       .select(col("a"), col("b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy(col("a"), col("b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
   /** Numeric-id canonical mapping from (a, b) near-dup pairs: connected

@@ -44,9 +44,11 @@ object CorpusValidation {
       count(lit(1)).as("total_graphs"),
       count_if(col("n_err") === 0).as("n_passed"),
       count_if(col("n_err") > 0).as("n_failed"),
-      sum("n_err").as("total_errors"),
-      sum("n_sub").as("total_substantive"),
-      sum("n_cos").as("total_cosmetic"),
+      // coalesce: sum() over an EMPTY corpus is NULL — keep the summary row
+      // well-defined (0) there; on any non-empty input the value is unchanged
+      coalesce(sum("n_err"), lit(0L)).as("total_errors"),
+      coalesce(sum("n_sub"), lit(0L)).as("total_substantive"),
+      coalesce(sum("n_cos"), lit(0L)).as("total_cosmetic"),
       count_if(col("tier") === "gold").as("n_gold"),
       count_if(col("tier") === "silver").as("n_silver"),
       count_if(col("tier") === "bronze").as("n_bronze"),
