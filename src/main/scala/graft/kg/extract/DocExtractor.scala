@@ -377,23 +377,36 @@ object DocExtractor {
     val caSeen = new Array[Int](nConcepts); java.util.Arrays.fill(caSeen, -1)
     val phOff = new Array[Int](nConcepts)
     val caOff = new Array[Int](nConcepts)
-    val sigBuf = ArrayBuffer.empty[Int]
-    val conceptBuf = ArrayBuffer.empty[Int]
+    // primitive int hit buffers: an ArrayBuffer[Int] boxes every append in
+    // the DFA sink (Integer.valueOf was ~5% of extraction samples); these
+    // grow-on-demand arrays keep the hit callback allocation-free
+    var sigArr = new Array[Int](64); var sigN = 0
+    var conceptArr = new Array[Int](64); var conceptN = 0
     var sentIdx = 0
     val sink = new graft.kg.text.PhraseAutomaton.Sink {
       def hit(pid: Int, start: Int): Unit = scan.entryKind(pid) match {
         case 0 =>
-          if (sigSeen(pid) != sentIdx) { sigSeen(pid) = sentIdx; sigBuf += pid }
+          if (sigSeen(pid) != sentIdx) {
+            sigSeen(pid) = sentIdx
+            if (sigN == sigArr.length) sigArr = java.util.Arrays.copyOf(sigArr, sigN * 2)
+            sigArr(sigN) = pid; sigN += 1
+          }
         case 1 =>
           val ci = scan.entryConceptIdx(pid)
           if (phSeen(ci) != sentIdx) {
-            if (caSeen(ci) != sentIdx) conceptBuf += ci
+            if (caSeen(ci) != sentIdx) {
+              if (conceptN == conceptArr.length) conceptArr = java.util.Arrays.copyOf(conceptArr, conceptN * 2)
+              conceptArr(conceptN) = ci; conceptN += 1
+            }
             phSeen(ci) = sentIdx; phOff(ci) = start
           } else if (start < phOff(ci)) phOff(ci) = start
         case _ =>
           val ci = scan.entryConceptIdx(pid)
           if (caSeen(ci) != sentIdx) {
-            if (phSeen(ci) != sentIdx) conceptBuf += ci
+            if (phSeen(ci) != sentIdx) {
+              if (conceptN == conceptArr.length) conceptArr = java.util.Arrays.copyOf(conceptArr, conceptN * 2)
+              conceptArr(conceptN) = ci; conceptN += 1
+            }
             caSeen(ci) = sentIdx; caOff(ci) = start
           } else if (start < caOff(ci)) caOff(ci) = start
       }
@@ -401,18 +414,31 @@ object DocExtractor {
     var si = 0
     while (si < doc.sentences.length) {
       sentIdx = si
-      sigBuf.clear(); conceptBuf.clear()
+      sigN = 0; conceptN = 0
       scan.automaton.scan(sentLower(si), sink)
       // legacy orders: signal hits by entry id = (pattern name, phrase
       // order); concept hits by concept id (= concept index); key-phrase
-      // offsets shadow establishing-case offsets
-      if (sigBuf.nonEmpty)
-        for (pid <- sigBuf.sortInPlace())
+      // offsets shadow establishing-case offsets (sort = the former
+      // ArrayBuffer.sortInPlace, ascending)
+      if (sigN > 0) {
+        java.util.Arrays.sort(sigArr, 0, sigN)
+        var j = 0
+        while (j < sigN) {
+          val pid = sigArr(j)
           signalHits += SignalHit(scan.entries(pid).name, scan.entryPhrases(pid), si)
-      if (conceptBuf.nonEmpty)
-        for (ci <- conceptBuf.sortInPlace())
+          j += 1
+        }
+      }
+      if (conceptN > 0) {
+        java.util.Arrays.sort(conceptArr, 0, conceptN)
+        var j = 0
+        while (j < conceptN) {
+          val ci = conceptArr(j)
           conceptHits += ConceptHit(scan.conceptIds(ci), "", si,
             if (phSeen(ci) == si) phOff(ci) else caOff(ci))
+          j += 1
+        }
+      }
       si += 1
     }
 
